@@ -1,0 +1,55 @@
+"""Typed configuration for the tracer (the reference has no config system —
+all parameters are positional C arguments, /root/reference/inc/compute_paths.h:59-74;
+see SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["TracerConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerConfig:
+    """Static tracer parameters (hashable; usable as a jit static argument).
+
+    Attributes:
+      num_paths:   rays launched per transmitter (Fibonacci sphere).
+      num_bounces: specular bounce depth.
+      parity:      "reference" reproduces the reference's quirky-but-observable
+                   semantics needed for golden tests (scatter shadow rays are
+                   blocked only by hits within 1 unit of *normalized* direction,
+                   i.e. 1 metre, /root/reference/src/compute_paths.c:678-683;
+                   LoS Doppler uses rx/tx velocity row 0,
+                   /root/reference/src/compute_paths.c:573).
+                   "physical" uses distance-correct occlusion with an epsilon
+                   margin and per-index LoS velocities.
+      backend:     intersection backend: "jnp", "pallas", or "auto"
+                   (pallas on TPU for large ray counts, jnp otherwise).
+      ray_chunk:   ray-axis chunk for the jnp backend's lax.map blocking.
+      block_rays / block_tris: Pallas kernel tile sizes.
+      unroll_bounces: unroll the bounce scan (num_bounces is small; unrolling
+                   lets XLA overlap independent per-bounce work).
+      keep_rays:   also return per-bounce ray segments + active masks
+                   (RaysInfo parity); disable to save HBM on huge runs.
+      occlusion_offset: self-hit epsilon for "physical" occlusion mode.
+    """
+
+    num_paths: int = 10_000
+    num_bounces: int = 3
+    parity: str = "reference"
+    backend: str = "auto"
+    ray_chunk: int = 4096
+    block_rays: int = 1024
+    block_tris: int = 256
+    unroll_bounces: bool = True
+    keep_rays: bool = True
+    occlusion_offset: float = 1e-4
+
+    def __post_init__(self):
+        if self.parity not in ("reference", "physical"):
+            raise ValueError(f"parity must be 'reference' or 'physical', got {self.parity!r}")
+        if self.backend not in ("jnp", "pallas", "auto"):
+            raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
+        if self.num_paths <= 0 or self.num_bounces <= 0:
+            raise ValueError("num_paths and num_bounces must be > 0")

@@ -1,0 +1,361 @@
+"""The differentiable multipath tracer: LoS pass + specular-bounce/scatter loop.
+
+Capability parity with the reference compute engine
+(``/root/reference/src/compute_paths.c:419-757``): Fibonacci-sphere ray launch
+per TX, a LoS occlusion pass per (RX, TX) pair with Friis amplitude and
+Doppler, then ``num_bounces`` rounds of nearest-hit intersection, ITU Fresnel
+reflection with per-segment free-space loss, specular ray update with a 1e-4
+self-hit offset, mesh-velocity Doppler accumulation, and a scatter-to-RX
+shadow-ray pass with directive scattering coefficients.  Outputs mirror the
+reference ``ChannelInfo``/``RaysInfo`` schema
+(/root/reference/inc/compute_paths.h:13-30).
+
+TPU-native redesign (not a port):
+
+* All per-ray state is dense f32 arrays over a flattened ``(tx * path)`` axis;
+  activity is a boolean mask, not a bitmask walk.
+* The bounce loop is a ``lax.scan`` (optionally unrolled) whose carry is the
+  ray state; each step issues exactly two batched nearest-hit queries (bounce
+  rays, then ``num_rx`` shadow rays batched together).
+* Hit indices are non-differentiable decisions (``stop_gradient``); every
+  differentiable quantity (hit distance, normal, material row) is re-derived
+  by gathering the chosen triangle, so ``jax.grad`` flows to material
+  parameters, TX/RX positions/velocities and scene vertices without custom
+  VJPs around the argmin.
+* Known reference defects are NOT reproduced (SURVEY.md §3.5): Doppler uses a
+  single well-defined accumulation semantics laid out as
+  ``(rx, tx, bounce, path)``; deactivated/blocked output slots are zeroed
+  instead of leaking uninitialised memory; scatter ``directions_tx`` is
+  populated with the launch direction.  The observable quirks needed for
+  golden tests are kept behind ``TracerConfig.parity == "reference"``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TracerConfig
+from .materials import MaterialTable
+from .ops.fresnel import precompute_eta, refl_coefs
+from .ops.geometry import dot3, fibonacci_sphere, reflect3
+from .ops.intersect import FLT_EPS, intersect_jnp, recompute_hit_t
+from .ops.scattering import scat_coefs
+from .scene.model import TriangleSoA
+
+__all__ = ["ChannelInfo", "RaysInfo", "PathsResult", "trace_paths",
+           "SPEED_OF_LIGHT", "PI"]
+
+SPEED_OF_LIGHT = np.float32(299792458.0)  # m/s (compute_paths.c:19)
+PI = np.float32(3.14159265358979323846)
+_CLIP = np.float32(1.0) - np.float32(FLT_EPS)  # grad-safe acos clamp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChannelInfo:
+    """Per-path channel parameters, shaped like the reference pybind views
+    (/root/reference/compute_paths_pybind11.cpp:54-96): ``num_rays`` is 1 for
+    LoS and ``num_bounces * num_paths`` for scatter, ordered bounce-major."""
+
+    directions_rx: jax.Array  # f32[NRx, NTx, K, 3]
+    directions_tx: jax.Array  # f32[NRx, NTx, K, 3]
+    a_te: jax.Array           # complex64[NRx, NTx, K]
+    a_tm: jax.Array           # complex64[NRx, NTx, K]
+    tau: jax.Array            # f32[NRx, NTx, K]  (seconds)
+    freq_shift: jax.Array     # f32[NRx, NTx, K]  (Hz)
+
+    @property
+    def num_rays(self) -> int:
+        return self.tau.shape[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RaysInfo:
+    """Ray segments per bounce (reference RaysInfo,
+    /root/reference/inc/compute_paths.h:26-30, with a sane dense layout):
+    slot 0 holds the launch rays, slot ``b+1`` the state after bounce ``b``."""
+
+    origins: jax.Array     # f32[NTx, B+1, P, 3]
+    directions: jax.Array  # f32[NTx, B+1, P, 3]
+    active: jax.Array      # bool[NTx, B+1, P]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PathsResult:
+    los: ChannelInfo
+    scatter: ChannelInfo
+    rays_los: Optional[RaysInfo] = None
+    rays_scatter: Optional[RaysInfo] = None
+
+
+IntersectFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def _default_intersect(tris: TriangleSoA, cfg: TracerConfig) -> IntersectFn:
+    if cfg.backend == "jnp":
+        return lambda o, d: intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+    if cfg.backend in ("pallas", "auto"):
+        from .ops.intersect_pallas import make_pallas_intersect
+        try:
+            return make_pallas_intersect(tris, block_rays=cfg.block_rays,
+                                         block_tris=cfg.block_tris)
+        except Exception:
+            if cfg.backend == "pallas":
+                raise
+            return lambda o, d: intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+    raise ValueError(cfg.backend)
+
+
+def _safe_norm(v):
+    n2 = dot3(v, v)
+    n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
+    return jnp.where(n2 > 0, n, 0.0)
+
+
+def _acos_clipped(x):
+    return jnp.arccos(jnp.clip(x, -_CLIP, _CLIP))
+
+
+def _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg,
+              intersect_fn):
+    """LoS occlusion pass per (rx, tx) pair
+    (/root/reference/src/compute_paths.c:510-577)."""
+    nrx, ntx = rx_pos.shape[0], tx_pos.shape[0]
+    o = jnp.broadcast_to(tx_pos[None, :, :], (nrx, ntx, 3)).reshape(-1, 3)
+    dvec = (rx_pos[:, None, :] - tx_pos[None, :, :]).reshape(-1, 3)
+
+    d2 = dot3(dvec, dvec)
+    coincident = d2 < FLT_EPS
+
+    t_hit, idx = intersect_fn(o, dvec)
+    blocked = (idx >= 0) & (t_hit <= 1.0) & ~coincident
+
+    dist = jnp.sqrt(jnp.where(coincident, 1.0, d2))
+    dn = dvec / jnp.where(coincident, 1.0, dist)[:, None]
+
+    fsl = fslm * dist
+    amp = jnp.where(fsl > 1.0, 1.0 / jnp.where(fsl > 1.0, fsl, 1.0), 1.0)
+    a_re = jnp.where(coincident, 1.0, jnp.where(blocked, 0.0, amp))
+    tau = jnp.where(coincident | blocked, 0.0, dist / SPEED_OF_LIGHT)
+
+    if cfg.parity == "reference":
+        # Reference bug kept for parity: velocity row 0 for every pair
+        # (/root/reference/src/compute_paths.c:573).
+        txv = jnp.broadcast_to(tx_vel[0][None, None], (nrx, ntx, 3)).reshape(-1, 3)
+        rxv = jnp.broadcast_to(rx_vel[0][None, None], (nrx, ntx, 3)).reshape(-1, 3)
+    else:
+        txv = jnp.broadcast_to(tx_vel[None, :, :], (nrx, ntx, 3)).reshape(-1, 3)
+        rxv = jnp.broadcast_to(rx_vel[:, None, :], (nrx, ntx, 3)).reshape(-1, 3)
+    freq = (dot3(txv, dn) - dot3(rxv, dn)) * k_dop
+    freq = jnp.where(coincident | blocked, 0.0, freq)
+
+    x_hat = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    dir_tx = jnp.where(coincident[:, None], x_hat[None, :], dn)
+    dir_rx = jnp.where(coincident[:, None], -x_hat[None, :], -dn)
+
+    shp = (nrx, ntx)
+    los = ChannelInfo(
+        directions_rx=dir_rx.reshape(nrx, ntx, 1, 3),
+        directions_tx=dir_tx.reshape(nrx, ntx, 1, 3),
+        a_te=(a_re + 0j).astype(jnp.complex64).reshape(nrx, ntx, 1),
+        a_tm=(a_re + 0j).astype(jnp.complex64).reshape(nrx, ntx, 1),
+        tau=tau.reshape(nrx, ntx, 1),
+        freq_shift=freq.reshape(nrx, ntx, 1),
+    )
+    rays = RaysInfo(
+        origins=o.reshape(nrx, ntx, 1, 3).transpose(1, 2, 0, 3),
+        directions=dvec.reshape(nrx, ntx, 1, 3).transpose(1, 2, 0, 3),
+        active=(~blocked).reshape(nrx, ntx, 1).transpose(1, 2, 0),
+    ) if cfg.keep_rays else None
+    del shp
+    return los, rays
+
+
+def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
+                 intersect_fn):
+    """One bounce: reflect every active ray off its nearest triangle, then
+    scatter a shadow ray from the hit point to every RX
+    (/root/reference/src/compute_paths.c:591-745)."""
+    o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq = carry
+    nrx = rx_pos.shape[0]
+
+    # --- nearest hit (non-differentiable decision) ---
+    _, idx = intersect_fn(o, d)
+    idx = jax.lax.stop_gradient(idx)
+    live = act & (idx >= 0)
+    safe = jnp.maximum(idx, 0)
+
+    # --- differentiable hit quantities via gather + recompute ---
+    t = recompute_hit_t(o, d, idx, tris)
+    t = jnp.where(live, t, 0.0)
+    n = tris.normal[safe]
+    ndot = dot3(n, d)
+    th = _acos_clipped(ndot)
+    theta = jnp.where(th > PI / 2, PI - th, th)  # fold (compute_paths.c:282-283)
+    mat_rows = eta.gather(tris.material[safe])
+
+    # --- Fresnel reflection + per-segment free-space loss ---
+    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, theta)
+    fsl2 = (fslm * t) ** 2
+    fscale = jnp.where(fsl2 > 1.0, 1.0 / jnp.where(fsl2 > 1.0, fsl2, 1.0), 1.0)
+    r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
+    r_tm_re, r_tm_im = r_tm_re * fscale, r_tm_im * fscale
+
+    new_ate_re = ate_re * r_te_re - ate_im * r_te_im
+    new_ate_im = ate_re * r_te_im + ate_im * r_te_re
+    new_atm_re = atm_re * r_tm_re - atm_im * r_tm_im
+    new_atm_im = atm_re * r_tm_im + atm_im * r_tm_re
+    ate_re = jnp.where(live, new_ate_re, ate_re)
+    ate_im = jnp.where(live, new_ate_im, ate_im)
+    atm_re = jnp.where(live, new_atm_re, atm_re)
+    atm_im = jnp.where(live, new_atm_im, atm_im)
+    tau = tau + jnp.where(live, t / SPEED_OF_LIGHT, 0.0)
+
+    # --- specular ray update with self-hit offset (compute_paths.c:648-659) ---
+    hitp = o + t[:, None] * d
+    d_ref = reflect3(d, n)
+    o_ref = hitp + jnp.float32(1e-4) * d_ref
+    o = jnp.where(live[:, None], o_ref, o)
+    d_new = jnp.where(live[:, None], d_ref, d)
+
+    # --- reflection Doppler from mesh velocity (compute_paths.c:661-664) ---
+    vel = tris.velocity[safe]
+    freq = freq + jnp.where(live, dot3(d_ref - d, vel) * k_dop, 0.0)
+    d = d_new
+
+    # --- scatter-to-RX shadow rays, all RX batched into one query ---
+    so = jnp.broadcast_to(o[None], (nrx,) + o.shape)          # [NRx, R, 3]
+    ds_un = rx_pos[:, None, :] - so                           # [NRx, R, 3]
+    d2rx = _safe_norm(ds_un)                                  # [NRx, R]
+    ds = ds_un / jnp.where(d2rx > 0, d2rx, 1.0)[..., None]
+
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    if cfg.parity == "reference":
+        # Reference quirk kept for parity: with a *normalised* direction the
+        # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
+        # count (/root/reference/src/compute_paths.c:678-683).
+        t_o, idx_o = intersect_fn(flat(so), flat(ds))
+        blocked = (idx_o >= 0) & (t_o <= 1.0)
+    else:
+        eps_o = jnp.float32(cfg.occlusion_offset)
+        t_o, idx_o = intersect_fn(flat(so) + eps_o * flat(ds), flat(ds))
+        blocked = (idx_o >= 0) & (t_o <= flat(d2rx) - 2.0 * eps_o)
+    blocked = blocked.reshape(nrx, -1)
+
+    theta_s = _acos_clipped(dot3(ds, n[None]))                # no fold (c:694)
+    s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
+        theta_s, theta[None], mat_rows.s[None], mat_rows.s1_alpha[None])
+
+    out_te_re = ate_re[None] * s_te_re - ate_im[None] * s_te_im
+    out_te_im = ate_re[None] * s_te_im + ate_im[None] * s_te_re
+    out_tm_re = atm_re[None] * s_tm_re - atm_im[None] * s_tm_im
+    out_tm_im = atm_re[None] * s_tm_im + atm_im[None] * s_tm_re
+
+    fsl_s2 = (fslm * d2rx) ** 2
+    sscale = jnp.where(fsl_s2 > 1.0, 1.0 / jnp.where(fsl_s2 > 1.0, fsl_s2, 1.0), 1.0)
+    write = live[None] & ~blocked
+    wf = write.astype(jnp.float32) * sscale
+
+    out_te_re, out_te_im = out_te_re * wf, out_te_im * wf
+    out_tm_re, out_tm_im = out_tm_re * wf, out_tm_im * wf
+    out_tau = jnp.where(write, tau[None] + d2rx / SPEED_OF_LIGHT, 0.0)
+    # Doppler of the scattered leg (compute_paths.c:719-722), well-defined
+    # (rx, tx, bounce, path) layout instead of the reference's aliased buffers.
+    out_freq = freq[None] - dot3(ds - d[None], vel[None]) * k_dop
+    out_dir_rx = jnp.where(write[..., None], -ds, 0.0)
+
+    carry = (o, d, ate_re, ate_im, atm_re, atm_im, tau, live, freq)
+    ys = (out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau, out_freq,
+          out_dir_rx, o, d, live)
+    return carry, ys
+
+
+def trace_paths(tris: TriangleSoA,
+                materials: MaterialTable,
+                rx_pos: jax.Array, tx_pos: jax.Array,
+                rx_vel: jax.Array, tx_vel: jax.Array,
+                carrier_frequency_ghz,
+                cfg: TracerConfig,
+                launch_dirs: Optional[jax.Array] = None,
+                intersect_fn: Optional[IntersectFn] = None) -> PathsResult:
+    """Trace LoS + scatter paths.  Fully differentiable w.r.t. ``materials``,
+    positions, velocities, vertices and carrier frequency.
+
+    Jit-compatible: wrap in ``jax.jit`` with ``cfg`` static (the public API in
+    :mod:`hermespy_rt_tpu.api` does this).
+    """
+    rx_pos = jnp.asarray(rx_pos, jnp.float32).reshape(-1, 3)
+    tx_pos = jnp.asarray(tx_pos, jnp.float32).reshape(-1, 3)
+    rx_vel = jnp.asarray(rx_vel, jnp.float32).reshape(-1, 3)
+    tx_vel = jnp.asarray(tx_vel, jnp.float32).reshape(-1, 3)
+    nrx, ntx = rx_pos.shape[0], tx_pos.shape[0]
+    P, B = cfg.num_paths, cfg.num_bounces
+
+    f_hz = jnp.asarray(carrier_frequency_ghz, jnp.float32) * jnp.float32(1e9)
+    fslm = jnp.float32(4.0) * PI * f_hz / SPEED_OF_LIGHT
+    k_dop = f_hz / SPEED_OF_LIGHT
+
+    if launch_dirs is None:
+        launch_dirs = jnp.asarray(fibonacci_sphere(P))
+    if intersect_fn is None:
+        intersect_fn = _default_intersect(tris, cfg)
+    eta = precompute_eta(materials, carrier_frequency_ghz)
+
+    los, rays_los = _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
+                              k_dop, cfg, intersect_fn)
+
+    # --- launch (tx-major ray axis r = tx * P + path, compute_paths.c:442-456) ---
+    d0 = jnp.tile(launch_dirs, (ntx, 1))                       # [R, 3]
+    o0 = jnp.repeat(tx_pos, P, axis=0)                         # [R, 3]
+    txv0 = jnp.repeat(tx_vel, P, axis=0)
+    R = ntx * P
+
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
+    freq0 = dot3(txv0, d0) * k_dop                             # (c:494-499)
+    carry0 = (o0, d0, ones, zeros, ones, zeros, zeros,
+              jnp.ones((R,), bool), freq0)
+
+    step = partial(_bounce_step, tris=tris, eta=eta, rx_pos=rx_pos,
+                   fslm=fslm, k_dop=k_dop, cfg=cfg, intersect_fn=intersect_fn)
+    _, ys = jax.lax.scan(step, carry0, None, length=B,
+                         unroll=B if cfg.unroll_bounces else 1)
+    (te_re, te_im, tm_re, tm_im, tau_s, freq_s, dir_rx, ro, rd, ract) = ys
+
+    def to_chan(x):  # [B, NRx, R] -> [NRx, NTx, B*P]
+        x = x.reshape(B, nrx, ntx, P)
+        return x.transpose(1, 2, 0, 3).reshape(nrx, ntx, B * P)
+
+    def to_chan3(x):  # [B, NRx, R, 3] -> [NRx, NTx, B*P, 3]
+        x = x.reshape(B, nrx, ntx, P, 3)
+        return x.transpose(1, 2, 0, 3, 4).reshape(nrx, ntx, B * P, 3)
+
+    a_te = (to_chan(te_re) + 1j * to_chan(te_im)).astype(jnp.complex64)
+    a_tm = (to_chan(tm_re) + 1j * to_chan(tm_im)).astype(jnp.complex64)
+    dir_tx = jnp.broadcast_to(
+        d0.reshape(1, ntx, 1, P, 3), (nrx, ntx, B, P, 3)
+    ).reshape(nrx, ntx, B * P, 3)
+
+    scatter = ChannelInfo(
+        directions_rx=to_chan3(dir_rx), directions_tx=dir_tx,
+        a_te=a_te, a_tm=a_tm, tau=to_chan(tau_s), freq_shift=to_chan(freq_s))
+
+    rays_scatter = None
+    if cfg.keep_rays:
+        def to_rays(x0, xs):  # [R,3] + [B, R, 3] -> [NTx, B+1, P, 3]
+            allx = jnp.concatenate([x0[None], xs], axis=0)     # [B+1, R, 3]
+            return allx.reshape(B + 1, ntx, P, 3).transpose(1, 0, 2, 3)
+        act_all = jnp.concatenate([jnp.ones((1, R), bool), ract], axis=0)
+        rays_scatter = RaysInfo(
+            origins=to_rays(o0, ro), directions=to_rays(d0, rd),
+            active=act_all.reshape(B + 1, ntx, P).transpose(1, 0, 2))
+
+    return PathsResult(los=los, scatter=scatter, rays_los=rays_los,
+                       rays_scatter=rays_scatter)
