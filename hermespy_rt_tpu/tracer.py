@@ -250,8 +250,32 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
     blocked = blocked.reshape(nrx, -1)
 
     theta_s = _acos_clipped(dot3(ds, n[None]))                # no fold (c:694)
+
+    if cfg.parity == "reference":
+        # Deep reference quirk: the shadow-ray moeller_trumbore call writes
+        # its hit angle into the *same* ``theta`` variable that is then passed
+        # to scat_coefs as the incidence angle
+        # (/root/reference/src/compute_paths.c:682 reuses &theta from :615).
+        # Any shadow hit — at any distance, blocked or not — clobbers it, and
+        # the clobber persists into subsequent rx iterations.  Reproduce the
+        # chain: th_used[rx] = shadow-hit angle of rx if it hit, else the
+        # previous rx's value, seeded with the bounce incidence angle.
+        idx_o2 = jax.lax.stop_gradient(idx_o).reshape(nrx, -1)
+        occl_hit = idx_o2 >= 0
+        n_o = tris.normal[jnp.maximum(idx_o2, 0)]             # [NRx, R, 3]
+        th_o = _acos_clipped(dot3(n_o, ds))
+        th_o = jnp.where(th_o > PI / 2, PI - th_o, th_o)      # MT folds (c:282)
+        th_c = theta
+        th_used = []
+        for k in range(nrx):
+            th_c = jnp.where(occl_hit[k], th_o[k], th_c)
+            th_used.append(th_c)
+        theta_i_scat = jnp.stack(th_used)                     # [NRx, R]
+    else:
+        theta_i_scat = jnp.broadcast_to(theta[None], theta_s.shape)
+
     s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
-        theta_s, theta[None], mat_rows.s[None], mat_rows.s1_alpha[None])
+        theta_s, theta_i_scat, mat_rows.s[None], mat_rows.s1_alpha[None])
 
     out_te_re = ate_re[None] * s_te_re - ate_im[None] * s_te_im
     out_te_im = ate_re[None] * s_te_im + ate_im[None] * s_te_re
