@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward+backward intersection-query throughput on the
+street-canyon scene (BASELINE.json north star).
+
+Metric: rays/s/chip where "rays" = Möller–Trumbore nearest-hit queries, the
+SURVEY.md §3.2 cost model (num_bounces * num_tx * num_paths * (1 + num_rx)
+queries per trace), measured over a jitted forward+backward step (loss =
+scatter gain power, gradients w.r.t. the full material table).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+
+vs_baseline is the speedup over the compiled single-thread C reference on
+this host's CPU (the only baseline that exists; the reference publishes no
+numbers — BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
+
+
+def _scene():
+    from hermespy_rt_tpu.scene import load_hrt, random_soup_scene
+    if os.path.exists(CANYON):
+        return load_hrt(CANYON)
+    return random_soup_scene(234, seed=0, extent=90.0, tri_size=8.0)
+
+
+def measure_tpu(num_paths=1 << 21, num_bounces=3, iters=8):
+    import jax
+    import jax.numpy as jnp
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.ops.geometry import fibonacci_sphere
+    from hermespy_rt_tpu.scene import flatten_scene
+    from hermespy_rt_tpu.tracer import trace_paths
+
+    cfg = TracerConfig(num_paths=num_paths, num_bounces=num_bounces,
+                       backend="auto", keep_rays=False)
+    tris = flatten_scene(_scene())
+    mats = default_materials()
+    dirs = jnp.asarray(fibonacci_sphere(num_paths))
+    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    zeros = jnp.zeros((1, 3), jnp.float32)
+
+    def loss_fn(mats):
+        res = trace_paths(tris, mats, rx, tx, zeros, zeros,
+                          jnp.float32(3.0), cfg, launch_dirs=dirs)
+        return (jnp.sum(jnp.abs(res.scatter.a_te) ** 2)
+                + jnp.sum(jnp.abs(res.scatter.a_tm) ** 2)) * 1e9
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    loss, g = step(mats)
+    jax.block_until_ready((loss, g))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, g = step(mats)
+    jax.block_until_ready((loss, g))
+    dt = (time.perf_counter() - t0) / iters
+
+    queries = num_bounces * 1 * num_paths * (1 + 1)  # B * ntx * P * (1+nrx)
+    return queries / dt, dt, queries
+
+
+def measure_c_reference(num_paths=20000, num_bounces=3):
+    """Single-thread C reference queries/s on the same workload shape."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from oracle.oracle import run_reference
+        rx = np.array([[10.0, 5.0, 2.0]], np.float32)
+        tx = np.array([[-20.0, -10.0, 10.0]], np.float32)
+        z = np.zeros((1, 3), np.float32)
+        t0 = time.perf_counter()
+        run_reference(CANYON, rx, tx, z, z, 3.0, num_paths, num_bounces)
+        dt = time.perf_counter() - t0
+        queries = num_bounces * num_paths * 2
+        return queries / dt
+    except Exception:
+        return None
+
+
+def main():
+    value, dt, queries = measure_tpu()
+    baseline = measure_c_reference() if os.path.exists(CANYON) else None
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "street_canyon_fwd_bwd_rays_per_s_per_chip",
+        "value": value,
+        "unit": "rays/s/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,10 @@ TPU-native redesign (not a port):
   by gathering the chosen triangle, so ``jax.grad`` flows to material
   parameters, TX/RX positions/velocities and scene vertices without custom
   VJPs around the argmin.
+* Scene access is abstracted behind :class:`SceneAccess` so the same bounce
+  code runs with a replicated scene (gathers) or a triangle-sharded scene
+  (local argmin + cross-device min-reduction + masked-psum payload fetch,
+  see :mod:`hermespy_rt_tpu.parallel.sharding`).
 * Known reference defects are NOT reproduced (SURVEY.md §3.5): Doppler uses a
   single well-defined accumulation semantics laid out as
   ``(rx, tx, bounce, path)``; deactivated/blocked output slots are zeroed
@@ -33,7 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +45,14 @@ import numpy as np
 
 from .config import TracerConfig
 from .materials import MaterialTable
-from .ops.fresnel import precompute_eta, refl_coefs
-from .ops.geometry import dot3, fibonacci_sphere, reflect3
-from .ops.intersect import FLT_EPS, intersect_jnp, recompute_hit_t
+from .ops.fresnel import EtaPrecomputed, precompute_eta, refl_coefs
+from .ops.geometry import cross3, dot3, fibonacci_sphere, reflect3
+from .ops.intersect import FLT_EPS, intersect_jnp
 from .ops.scattering import scat_coefs
 from .scene.model import TriangleSoA
 
 __all__ = ["ChannelInfo", "RaysInfo", "PathsResult", "trace_paths",
-           "SPEED_OF_LIGHT", "PI"]
+           "LocalSceneAccess", "SPEED_OF_LIGHT", "PI"]
 
 SPEED_OF_LIGHT = np.float32(299792458.0)  # m/s (compute_paths.c:19)
 PI = np.float32(3.14159265358979323846)
@@ -95,10 +99,40 @@ class PathsResult:
     rays_scatter: Optional[RaysInfo] = None
 
 
-IntersectFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+class LocalSceneAccess:
+    """Scene access with the full (replicated) triangle SoA on this device."""
+
+    def __init__(self, tris: TriangleSoA, intersect_fn=None,
+                 cfg: Optional[TracerConfig] = None):
+        self.tris = tris
+        if intersect_fn is None:
+            intersect_fn = _select_intersect(tris, cfg or TracerConfig())
+        self._intersect = intersect_fn
+
+    def intersect(self, o, d):
+        """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
+
+        Hit decisions are non-differentiable by design (piecewise constant):
+        gradients are cut here, which also spares the O(rays x triangles)
+        backward sweep — the tracer re-derives differentiable hit quantities
+        from the gathered triangle instead.
+        """
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        return self._intersect(o, d)
+
+    def fetch(self, idx_safe) -> Dict[str, jax.Array]:
+        """Per-hit triangle payload for already-clamped indices."""
+        t = self.tris
+        return dict(v0=t.v0[idx_safe], e1=t.e1[idx_safe], e2=t.e2[idx_safe],
+                    normal=t.normal[idx_safe], velocity=t.velocity[idx_safe],
+                    material=t.material[idx_safe])
+
+    def normal_at(self, idx_safe):
+        return self.tris.normal[idx_safe]
 
 
-def _default_intersect(tris: TriangleSoA, cfg: TracerConfig) -> IntersectFn:
+def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     if cfg.backend == "jnp":
         return lambda o, d: intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
     if cfg.backend in ("pallas", "auto"):
@@ -109,7 +143,8 @@ def _default_intersect(tris: TriangleSoA, cfg: TracerConfig) -> IntersectFn:
         except Exception:
             if cfg.backend == "pallas":
                 raise
-            return lambda o, d: intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+            return lambda o, d: intersect_jnp(o, d, tris,
+                                              chunk_size=cfg.ray_chunk)
     raise ValueError(cfg.backend)
 
 
@@ -123,8 +158,19 @@ def _acos_clipped(x):
     return jnp.arccos(jnp.clip(x, -_CLIP, _CLIP))
 
 
-def _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg,
-              intersect_fn):
+def _recompute_t(o, d, hit, live):
+    """Differentiable hit distance from the gathered triangle
+    (t = (e2 . (s x e1)) / (e1 . (d x e2)), masked to 0 off-hit)."""
+    pvec = cross3(d, hit["e2"])
+    det = dot3(hit["e1"], pvec)
+    qvec = cross3(o - hit["v0"], hit["e1"])
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = dot3(hit["e2"], qvec) * inv_det
+    return jnp.where(live, t, 0.0)
+
+
+def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
+              k_dop, cfg):
     """LoS occlusion pass per (rx, tx) pair
     (/root/reference/src/compute_paths.c:510-577)."""
     nrx, ntx = rx_pos.shape[0], tx_pos.shape[0]
@@ -134,7 +180,7 @@ def _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg,
     d2 = dot3(dvec, dvec)
     coincident = d2 < FLT_EPS
 
-    t_hit, idx = intersect_fn(o, dvec)
+    t_hit, idx = access.intersect(o, dvec)
     blocked = (idx >= 0) & (t_hit <= 1.0) & ~coincident
 
     dist = jnp.sqrt(jnp.where(coincident, 1.0, d2))
@@ -160,7 +206,6 @@ def _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg,
     dir_tx = jnp.where(coincident[:, None], x_hat[None, :], dn)
     dir_rx = jnp.where(coincident[:, None], -x_hat[None, :], -dn)
 
-    shp = (nrx, ntx)
     los = ChannelInfo(
         directions_rx=dir_rx.reshape(nrx, ntx, 1, 3),
         directions_tx=dir_tx.reshape(nrx, ntx, 1, 3),
@@ -174,12 +219,11 @@ def _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg,
         directions=dvec.reshape(nrx, ntx, 1, 3).transpose(1, 2, 0, 3),
         active=(~blocked).reshape(nrx, ntx, 1).transpose(1, 2, 0),
     ) if cfg.keep_rays else None
-    del shp
     return los, rays
 
 
-def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
-                 intersect_fn):
+def bounce_step(carry, _, *, access, eta: EtaPrecomputed, rx_pos, fslm, k_dop,
+                cfg: TracerConfig):
     """One bounce: reflect every active ray off its nearest triangle, then
     scatter a shadow ray from the hit point to every RX
     (/root/reference/src/compute_paths.c:591-745)."""
@@ -187,19 +231,19 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
     nrx = rx_pos.shape[0]
 
     # --- nearest hit (non-differentiable decision) ---
-    _, idx = intersect_fn(o, d)
+    _, idx = access.intersect(o, d)
     idx = jax.lax.stop_gradient(idx)
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
 
     # --- differentiable hit quantities via gather + recompute ---
-    t = recompute_hit_t(o, d, idx, tris)
-    t = jnp.where(live, t, 0.0)
-    n = tris.normal[safe]
+    hit = access.fetch(safe)
+    t = _recompute_t(o, d, hit, live)
+    n = hit["normal"]
     ndot = dot3(n, d)
     th = _acos_clipped(ndot)
     theta = jnp.where(th > PI / 2, PI - th, th)  # fold (compute_paths.c:282-283)
-    mat_rows = eta.gather(tris.material[safe])
+    mat_rows = eta.gather(hit["material"])
 
     # --- Fresnel reflection + per-segment free-space loss ---
     r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, theta)
@@ -226,7 +270,7 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
     d_new = jnp.where(live[:, None], d_ref, d)
 
     # --- reflection Doppler from mesh velocity (compute_paths.c:661-664) ---
-    vel = tris.velocity[safe]
+    vel = hit["velocity"]
     freq = freq + jnp.where(live, dot3(d_ref - d, vel) * k_dop, 0.0)
     d = d_new
 
@@ -241,11 +285,11 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
         # Reference quirk kept for parity: with a *normalised* direction the
         # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
         # count (/root/reference/src/compute_paths.c:678-683).
-        t_o, idx_o = intersect_fn(flat(so), flat(ds))
+        t_o, idx_o = access.intersect(flat(so), flat(ds))
         blocked = (idx_o >= 0) & (t_o <= 1.0)
     else:
         eps_o = jnp.float32(cfg.occlusion_offset)
-        t_o, idx_o = intersect_fn(flat(so) + eps_o * flat(ds), flat(ds))
+        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds), flat(ds))
         blocked = (idx_o >= 0) & (t_o <= flat(d2rx) - 2.0 * eps_o)
     blocked = blocked.reshape(nrx, -1)
 
@@ -262,7 +306,7 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
         # previous rx's value, seeded with the bounce incidence angle.
         idx_o2 = jax.lax.stop_gradient(idx_o).reshape(nrx, -1)
         occl_hit = idx_o2 >= 0
-        n_o = tris.normal[jnp.maximum(idx_o2, 0)]             # [NRx, R, 3]
+        n_o = access.normal_at(jnp.maximum(idx_o2, 0))        # [NRx, R, 3]
         th_o = _acos_clipped(dot3(n_o, ds))
         th_o = jnp.where(th_o > PI / 2, PI - th_o, th_o)      # MT folds (c:282)
         th_c = theta
@@ -301,57 +345,37 @@ def _bounce_step(carry, _, *, tris, eta, rx_pos, fslm, k_dop, cfg,
     return carry, ys
 
 
-def trace_paths(tris: TriangleSoA,
-                materials: MaterialTable,
-                rx_pos: jax.Array, tx_pos: jax.Array,
-                rx_vel: jax.Array, tx_vel: jax.Array,
-                carrier_frequency_ghz,
-                cfg: TracerConfig,
-                launch_dirs: Optional[jax.Array] = None,
-                intersect_fn: Optional[IntersectFn] = None) -> PathsResult:
-    """Trace LoS + scatter paths.  Fully differentiable w.r.t. ``materials``,
-    positions, velocities, vertices and carrier frequency.
-
-    Jit-compatible: wrap in ``jax.jit`` with ``cfg`` static (the public API in
-    :mod:`hermespy_rt_tpu.api` does this).
-    """
-    rx_pos = jnp.asarray(rx_pos, jnp.float32).reshape(-1, 3)
-    tx_pos = jnp.asarray(tx_pos, jnp.float32).reshape(-1, 3)
-    rx_vel = jnp.asarray(rx_vel, jnp.float32).reshape(-1, 3)
-    tx_vel = jnp.asarray(tx_vel, jnp.float32).reshape(-1, 3)
-    nrx, ntx = rx_pos.shape[0], tx_pos.shape[0]
-    P, B = cfg.num_paths, cfg.num_bounces
-
-    f_hz = jnp.asarray(carrier_frequency_ghz, jnp.float32) * jnp.float32(1e9)
-    fslm = jnp.float32(4.0) * PI * f_hz / SPEED_OF_LIGHT
-    k_dop = f_hz / SPEED_OF_LIGHT
-
-    if launch_dirs is None:
-        launch_dirs = jnp.asarray(fibonacci_sphere(P))
-    if intersect_fn is None:
-        intersect_fn = _default_intersect(tris, cfg)
-    eta = precompute_eta(materials, carrier_frequency_ghz)
-
-    los, rays_los = _los_pass(tris, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
-                              k_dop, cfg, intersect_fn)
-
-    # --- launch (tx-major ray axis r = tx * P + path, compute_paths.c:442-456) ---
+def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None):
+    """Initial per-ray state over the flattened tx-major ray axis
+    (/root/reference/src/compute_paths.c:442-508)."""
+    ntx = tx_pos.shape[0]
+    P = launch_dirs.shape[0]
     d0 = jnp.tile(launch_dirs, (ntx, 1))                       # [R, 3]
     o0 = jnp.repeat(tx_pos, P, axis=0)                         # [R, 3]
     txv0 = jnp.repeat(tx_vel, P, axis=0)
     R = ntx * P
-
     ones = jnp.ones((R,), jnp.float32)
     zeros = jnp.zeros((R,), jnp.float32)
-    freq0 = dot3(txv0, d0) * k_dop                             # (c:494-499)
-    carry0 = (o0, d0, ones, zeros, ones, zeros, zeros,
-              jnp.ones((R,), bool), freq0)
+    freq0 = dot3(txv0, d0) * k_dop
+    act = jnp.ones((R,), bool) if active0 is None else active0
+    return (o0, d0, ones, zeros, ones, zeros, zeros, act, freq0)
 
-    step = partial(_bounce_step, tris=tris, eta=eta, rx_pos=rx_pos,
-                   fslm=fslm, k_dop=k_dop, cfg=cfg, intersect_fn=intersect_fn)
+
+def scatter_scan(access, eta, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
+    """Run the bounce loop; returns the stacked per-bounce outputs."""
+    step = partial(bounce_step, access=access, eta=eta, rx_pos=rx_pos,
+                   fslm=fslm, k_dop=k_dop, cfg=cfg)
+    B = cfg.num_bounces
     _, ys = jax.lax.scan(step, carry0, None, length=B,
                          unroll=B if cfg.unroll_bounces else 1)
+    return ys
+
+
+def assemble_scatter(ys, d0, o0, nrx, ntx, P, B, keep_rays: bool):
+    """Reshape stacked scan outputs into the reference ChannelInfo layout
+    ``(rx, tx, bounce*path)`` plus the per-bounce RaysInfo."""
     (te_re, te_im, tm_re, tm_im, tau_s, freq_s, dir_rx, ro, rd, ract) = ys
+    R = ntx * P
 
     def to_chan(x):  # [B, NRx, R] -> [NRx, NTx, B*P]
         x = x.reshape(B, nrx, ntx, P)
@@ -372,7 +396,7 @@ def trace_paths(tris: TriangleSoA,
         a_te=a_te, a_tm=a_tm, tau=to_chan(tau_s), freq_shift=to_chan(freq_s))
 
     rays_scatter = None
-    if cfg.keep_rays:
+    if keep_rays:
         def to_rays(x0, xs):  # [R,3] + [B, R, 3] -> [NTx, B+1, P, 3]
             allx = jnp.concatenate([x0[None], xs], axis=0)     # [B+1, R, 3]
             return allx.reshape(B + 1, ntx, P, 3).transpose(1, 0, 2, 3)
@@ -380,6 +404,48 @@ def trace_paths(tris: TriangleSoA,
         rays_scatter = RaysInfo(
             origins=to_rays(o0, ro), directions=to_rays(d0, rd),
             active=act_all.reshape(B + 1, ntx, P).transpose(1, 0, 2))
+    return scatter, rays_scatter
 
+
+def trace_paths(tris: TriangleSoA,
+                materials: MaterialTable,
+                rx_pos: jax.Array, tx_pos: jax.Array,
+                rx_vel: jax.Array, tx_vel: jax.Array,
+                carrier_frequency_ghz,
+                cfg: TracerConfig,
+                launch_dirs: Optional[jax.Array] = None,
+                intersect_fn=None) -> PathsResult:
+    """Trace LoS + scatter paths on a single device.  Fully differentiable
+    w.r.t. ``materials``, positions, velocities, vertices and carrier
+    frequency.  For multi-chip sharded tracing see
+    :func:`hermespy_rt_tpu.parallel.trace_paths_sharded`.
+
+    Jit-compatible: wrap in ``jax.jit`` with ``cfg`` static (the public API in
+    :mod:`hermespy_rt_tpu.api` does this).
+    """
+    rx_pos = jnp.asarray(rx_pos, jnp.float32).reshape(-1, 3)
+    tx_pos = jnp.asarray(tx_pos, jnp.float32).reshape(-1, 3)
+    rx_vel = jnp.asarray(rx_vel, jnp.float32).reshape(-1, 3)
+    tx_vel = jnp.asarray(tx_vel, jnp.float32).reshape(-1, 3)
+    nrx, ntx = rx_pos.shape[0], tx_pos.shape[0]
+    P, B = cfg.num_paths, cfg.num_bounces
+
+    f_hz = jnp.asarray(carrier_frequency_ghz, jnp.float32) * jnp.float32(1e9)
+    fslm = jnp.float32(4.0) * PI * f_hz / SPEED_OF_LIGHT
+    k_dop = f_hz / SPEED_OF_LIGHT
+
+    if launch_dirs is None:
+        launch_dirs = jnp.asarray(fibonacci_sphere(P))
+    access = LocalSceneAccess(tris, intersect_fn, cfg)
+    eta = precompute_eta(materials, carrier_frequency_ghz)
+
+    los, rays_los = _los_pass(access, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
+                              k_dop, cfg)
+
+    carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop)
+    o0, d0 = carry0[0], carry0[1]
+    ys = scatter_scan(access, eta, rx_pos, carry0, fslm, k_dop, cfg)
+    scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,
+                                             cfg.keep_rays)
     return PathsResult(los=los, scatter=scatter, rays_los=rays_los,
                        rays_scatter=rays_scatter)

@@ -1,0 +1,122 @@
+"""Pallas intersection kernel tests (interpret mode on CPU): must agree with
+the jnp reference implementation on hit decisions and distances."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hermespy_rt_tpu.ops.intersect import intersect_jnp
+from hermespy_rt_tpu.ops.intersect_pallas import make_pallas_intersect
+from hermespy_rt_tpu.scene import (box_scene, flatten_scene,
+                                   random_soup_scene, simple_reflector_scene)
+
+
+def _compare(soa, o, d, frac_ok=0.999):
+    t1, i1 = intersect_jnp(jnp.asarray(o), jnp.asarray(d), soa)
+    fn = make_pallas_intersect(soa, interpret=True)
+    t2, i2 = fn(jnp.asarray(o), jnp.asarray(d))
+    t1, i1, t2, i2 = map(np.asarray, (t1, i1, t2, i2))
+    same_hit = (i1 >= 0) == (i2 >= 0)
+    assert same_hit.mean() >= frac_ok, f"hit flags differ: {(~same_hit).sum()}"
+    m = same_hit & (i1 >= 0)
+    same_tri = i1[m] == i2[m]
+    assert same_tri.mean() >= frac_ok
+    np.testing.assert_allclose(t2[m][same_tri], t1[m][same_tri], rtol=2e-5)
+
+
+def test_kernel_matches_jnp_soup(rng):
+    soa = flatten_scene(random_soup_scene(300, seed=7), pad_to=128)
+    R = 2048
+    o = rng.uniform(-60, 60, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(soa, o, d)
+
+
+def test_kernel_matches_jnp_box(rng):
+    soa = flatten_scene(box_scene(), pad_to=128)
+    R = 1024
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    o[:, 2] = rng.uniform(0.5, 4.5, R)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(soa, o, d)
+
+
+def test_kernel_ragged_sizes():
+    # R not a multiple of the tile, T small
+    soa = flatten_scene(simple_reflector_scene(), pad_to=128)
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-0.4, 0.4, (777, 3)).astype(np.float32)
+    o[:, 2] = 1.0
+    d = np.tile(np.array([0, 0, -1.0], np.float32), (777, 1))
+    fn = make_pallas_intersect(soa, interpret=True)
+    t, idx = fn(jnp.asarray(o), jnp.asarray(d))
+    assert t.shape == (777,)
+    assert np.all(np.asarray(idx) >= 0)
+    np.testing.assert_allclose(np.asarray(t), 1.0, rtol=1e-6)
+
+
+def test_kernel_miss_semantics():
+    soa = flatten_scene(box_scene(), pad_to=128)
+    o = np.tile(np.array([0, 0, 10.0], np.float32), (256, 1))
+    d = np.tile(np.array([0, 0, 1.0], np.float32), (256, 1))
+    fn = make_pallas_intersect(soa, interpret=True)
+    t, idx = fn(jnp.asarray(o), jnp.asarray(d))
+    assert np.all(np.asarray(idx) == -1)
+    assert not np.any(np.isfinite(np.asarray(t)))
+
+
+def test_kernel_multi_tri_tiles(rng):
+    # force several triangle tiles to exercise the running-min accumulator
+    soa = flatten_scene(random_soup_scene(1000, seed=11), pad_to=128)
+    R = 512
+    o = rng.uniform(-60, 60, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t1, i1 = intersect_jnp(jnp.asarray(o), jnp.asarray(d), soa)
+    fn = make_pallas_intersect(soa, block_tris=128, interpret=True)
+    t2, i2 = fn(jnp.asarray(o), jnp.asarray(d))
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.995
+
+
+def test_tracer_with_pallas_backend_matches_jnp():
+    import hermespy_rt_tpu as hrt
+    rx = [[0, 0, 0.15]]
+    tx = [[0, 0, 0.151]]
+    z = np.zeros((1, 3))
+    los_j, scat_j = hrt.compute_paths(hrt.simple_reflector_scene(), rx, tx,
+                                      z, z, 3.0, 1, 1, 512, 2, backend="jnp")
+    los_p, scat_p = hrt.compute_paths(hrt.simple_reflector_scene(), rx, tx,
+                                      z, z, 3.0, 1, 1, 512, 2,
+                                      backend="pallas")
+    np.testing.assert_allclose(np.asarray(los_j.a_te), np.asarray(los_p.a_te),
+                               rtol=1e-6)
+    a_j, a_p = np.asarray(scat_j.a_te), np.asarray(scat_p.a_te)
+    agree = ((np.abs(a_j) > 0) == (np.abs(a_p) > 0)).mean()
+    assert agree > 0.995
+    m = (np.abs(a_j) > 0) & (np.abs(a_p) > 0)
+    np.testing.assert_allclose(a_j[m], a_p[m], rtol=1e-4,
+                               atol=np.abs(a_j[m]).max() * 1e-5)
+
+
+def test_tracer_pallas_gradients_finite():
+    import jax
+    import hermespy_rt_tpu as hrt
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.tracer import trace_paths
+    tris = flatten_scene(simple_reflector_scene())
+    cfg = TracerConfig(num_paths=128, num_bounces=2, backend="pallas",
+                       keep_rays=False)
+    rx = np.array([[0.1, 0, 0.3]], np.float32)
+    tx = np.array([[0, 0.1, 0.5]], np.float32)
+    z = np.zeros((1, 3), np.float32)
+
+    def loss(mats):
+        res = trace_paths(tris, mats, rx, tx, z, z, 3.0, cfg)
+        return jnp.sum(jnp.abs(res.scatter.a_te) ** 2) * 1e6
+
+    g = jax.grad(loss)(default_materials())
+    assert np.isfinite(np.asarray(g.a)).all()
+    assert abs(float(np.asarray(g.a)[1])) > 0
