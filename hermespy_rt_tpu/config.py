@@ -45,6 +45,11 @@ class TracerConfig:
     unroll_bounces: bool = True
     keep_rays: bool = True
     occlusion_offset: float = 1e-4
+    # hit-payload fetch strategy: "onehot" = one-hot matmul against the fused
+    # per-triangle table (MXU, exact — fastest for small scenes), "take" =
+    # plain XLA gather, "auto" = onehot for scenes up to 4096 padded
+    # triangles, take beyond.
+    gather: str = "auto"
 
     def __post_init__(self):
         if self.parity not in ("reference", "physical"):
@@ -53,3 +58,5 @@ class TracerConfig:
             raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
         if self.num_paths <= 0 or self.num_bounces <= 0:
             raise ValueError("num_paths and num_bounces must be > 0")
+        if self.gather not in ("auto", "onehot", "take"):
+            raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")

@@ -112,8 +112,8 @@ def precompute_eta(materials: MaterialTable, carrier_frequency_ghz) -> EtaPrecom
     )
 
 
-def refl_coefs(eta: EtaPrecomputed, theta1) -> Tuple[jax.Array, jax.Array,
-                                                     jax.Array, jax.Array]:
+def refl_coefs(eta: EtaPrecomputed, cos_t1, sin_t1) -> Tuple[
+        jax.Array, jax.Array, jax.Array, jax.Array]:
     """Complex (R_TE, R_TM) for per-hit eta rows and incidence angles.
 
     Vectorised port of /root/reference/src/compute_paths.c:300-344: ITU-R
@@ -121,11 +121,12 @@ def refl_coefs(eta: EtaPrecomputed, theta1) -> Tuple[jax.Array, jax.Array,
     approximation for cos(theta_2) and the TIR guard
     ``sin(theta_1)/sqrt(|eta|) > 1 - eps -> R = 1``.
 
-    Returns ``(r_te_re, r_te_im, r_tm_re, r_tm_im)`` with the ``1 - s``
-    reduction applied.
+    Takes ``cos(theta_1)``/``sin(theta_1)`` directly (the tracer derives them
+    algebraically from the incidence dot product — no trig round-trip; the C
+    code's ``sinf(acos(n.d))`` chain equals ``sqrt(1-(n.d)^2)`` to f32
+    rounding).  Returns ``(r_te_re, r_te_im, r_tm_re, r_tm_im)`` with the
+    ``1 - s`` reduction applied.
     """
-    sin_t1 = jnp.sin(theta1)
-    cos_t1 = jnp.cos(theta1)
     tir = eta.eta_abs_inv_sqrt * sin_t1 > 1.0 - _FLT_EPS
 
     sin2 = sin_t1 * sin_t1

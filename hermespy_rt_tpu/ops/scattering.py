@@ -20,20 +20,23 @@ import jax.numpy as jnp
 __all__ = ["scat_coefs"]
 
 
-def scat_coefs(theta_s, theta_i, s, s1_alpha) -> Tuple[jax.Array, jax.Array,
-                                                       jax.Array, jax.Array]:
+def scat_coefs(theta_s, theta_i, s, s1_alpha, cos_ts=None, cos_ti=None,
+               sin_ti=None) -> Tuple[jax.Array, jax.Array,
+                                     jax.Array, jax.Array]:
     """Complex (S_TE, S_TM) scattering coefficients.
 
     Args are broadcastable arrays: scattering angle ``theta_s`` (to the RX),
     incidence angle ``theta_i``, material scattering coefficient ``s`` and lobe
     width ``s1_alpha`` (float; the reference stores it as uint8 but only ever
-    uses it in float expressions).
+    uses it in float expressions).  The tracer passes ``cos_ts``/``cos_ti``/
+    ``sin_ti`` directly (they are the dot products the angles came from —
+    avoids trig round-trips); when omitted they are computed from the angles.
 
     Returns ``(s_te_re, s_te_im, s_tm_re, s_tm_im)``.
     """
-    cos_ts = jnp.cos(theta_s)
-    cos_ti = jnp.cos(theta_i)
-    sin_ti = jnp.sin(theta_i)
+    cos_ts = jnp.cos(theta_s) if cos_ts is None else cos_ts
+    cos_ti = jnp.cos(theta_i) if cos_ti is None else cos_ti
+    sin_ti = jnp.sin(theta_i) if sin_ti is None else sin_ti
 
     f = s * jnp.exp(-s1_alpha * jnp.abs(theta_s - theta_i))
 

@@ -84,18 +84,18 @@ class TriShardedSceneAccess:
     """
 
     def __init__(self, tris_local: TriangleSoA, axis_name: str,
-                 cfg: TracerConfig, intersect_fn=None):
-        self.local = LocalSceneAccess(tris_local, intersect_fn, cfg)
+                 cfg: TracerConfig, eta=None, intersect_fn=None):
+        self.local = LocalSceneAccess(tris_local, intersect_fn, cfg, eta=eta)
         self.axis = axis_name
         self.shard_size = tris_local.v0.shape[0]
         self.offset = jax.lax.axis_index(axis_name) * self.shard_size
 
-    def intersect(self, o, d):
+    def intersect(self, o, d, t_max=None):
         # decisions only — see LocalSceneAccess.intersect (also: pmin has no
         # differentiation rule, and must never need one here)
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        t_loc, i_loc = self.local.intersect(o, d)
+        t_loc, i_loc = self.local.intersect(o, d, t_max)
         i_glob = jnp.where(i_loc >= 0, i_loc + self.offset, _I32_MAX)
         t_min = jax.lax.pmin(t_loc, self.axis)
         cand = jnp.where((t_loc == t_min) & (i_loc >= 0), i_glob, _I32_MAX)
@@ -114,12 +114,11 @@ class TriShardedSceneAccess:
         minef = mine.astype(jnp.float32)
 
         def sel(x):
-            if x.dtype == jnp.int32:
-                return jax.lax.psum(jnp.where(mine, x, 0), self.axis)
             m = minef[..., None] if x.ndim == mine.ndim + 1 else minef
             return jax.lax.psum(x * m, self.axis)
 
-        return {k: sel(v) for k, v in loc.items()}
+        # loc is a pytree (payload dict + nested EtaPrecomputed), all float
+        return jax.tree.map(sel, loc)
 
     def normal_at(self, idx_safe):
         li, mine = self._owned(idx_safe)
@@ -205,10 +204,10 @@ def trace_paths_sharded(tris: TriangleSoA,
 
     def body(tris_l, eta_l, rx_pos_l, fslm_l, k_dop_l, *carry):
         if tri_sharded:
-            access = TriShardedSceneAccess(tris_l, "tris", cfg)
+            access = TriShardedSceneAccess(tris_l, "tris", cfg, eta=eta_l)
         else:
-            access = LocalSceneAccess(tris_l, None, cfg)
-        return scatter_scan(access, eta_l, rx_pos_l, tuple(carry), fslm_l,
+            access = LocalSceneAccess(tris_l, None, cfg, eta=eta_l)
+        return scatter_scan(access, rx_pos_l, tuple(carry), fslm_l,
                             k_dop_l, cfg)
 
     # per-bounce outputs: [B, NRx, R]-shaped (rays last) except dir_rx

@@ -46,7 +46,7 @@ import numpy as np
 from .config import TracerConfig
 from .materials import MaterialTable
 from .ops.fresnel import EtaPrecomputed, precompute_eta, refl_coefs
-from .ops.geometry import cross3, dot3, fibonacci_sphere, reflect3
+from .ops.geometry import cross3, dot3, fast_acos, fibonacci_sphere, reflect3
 from .ops.intersect import FLT_EPS, intersect_jnp
 from .ops.scattering import scat_coefs
 from .scene.model import TriangleSoA
@@ -99,18 +99,50 @@ class PathsResult:
     rays_scatter: Optional[RaysInfo] = None
 
 
+# columns of the fused per-triangle payload table, after the 15 geometry
+# columns v0(0:3) e1(3:6) e2(6:9) normal(9:12) velocity(12:15)
+_ETA_FIELDS = ("eta_re", "eta_im", "eta_abs", "eta_abs_pow2",
+               "eta_abs_inv_sqrt", "eta_sqrt_re", "eta_sqrt_im", "eta_inv_re",
+               "eta_inv_im", "r", "s", "s1_alpha")
+_GEOM_COLS = 15
+
+
 class LocalSceneAccess:
-    """Scene access with the full (replicated) triangle SoA on this device."""
+    """Scene access with the full (replicated) triangle SoA on this device.
+
+    The per-hit payload (triangle basis, normal, velocity, material eta row)
+    lives in ONE fused ``[T, 27]`` table so a hit fetch is a single lookup.
+    18 separate small-table gathers measured ~45 ms per bounce at 1M rays on
+    TPU; the fused one-hot-matmul lookup runs on the MXU (exact — the one-hot
+    rows select single table rows) and its transpose makes the backward
+    scatter-add a matmul too.
+    """
 
     def __init__(self, tris: TriangleSoA, intersect_fn=None,
-                 cfg: Optional[TracerConfig] = None):
+                 cfg: Optional[TracerConfig] = None,
+                 eta: Optional[EtaPrecomputed] = None):
+        cfg = cfg or TracerConfig()
         self.tris = tris
         if intersect_fn is None:
-            intersect_fn = _select_intersect(tris, cfg or TracerConfig())
+            intersect_fn = _select_intersect(tris, cfg)
         self._intersect = intersect_fn
+        self._onehot = (cfg.gather == "onehot"
+                        or (cfg.gather == "auto" and tris.v0.shape[0] <= 4096))
+        self._table = None
+        if eta is not None:
+            mat = tris.material
+            eta_cols = jnp.stack([getattr(eta, f)[mat] for f in _ETA_FIELDS],
+                                 axis=-1)                       # [T, 12]
+            self._table = jnp.concatenate(
+                [tris.v0, tris.e1, tris.e2, tris.normal, tris.velocity,
+                 eta_cols], axis=-1)                            # [T, 27]
 
-    def intersect(self, o, d):
+    def intersect(self, o, d, t_max=None):
         """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
+
+        ``t_max`` restricts the query to hits with ``t <= t_max`` (a
+        performance hint for range-limited occlusion tests; hits beyond it
+        report as misses).
 
         Hit decisions are non-differentiable by design (piecewise constant):
         gradients are cut here, which also spares the O(rays x triangles)
@@ -119,22 +151,48 @@ class LocalSceneAccess:
         """
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        return self._intersect(o, d)
+        return self._intersect(o, d, t_max)
+
+    def _rows(self, idx_safe):
+        """Table rows for clamped indices, any leading shape -> [..., 27]."""
+        if not self._onehot:
+            return self._table[idx_safe]
+        T = self._table.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, idx_safe.shape + (T,),
+                                        idx_safe.ndim)
+        oh = (idx_safe[..., None] == iota).astype(jnp.float32)
+        # HIGHEST keeps the selected rows bit-exact (f32 = 3 bf16 terms); the
+        # one-hot rows make every output a single exact product.
+        return jnp.dot(oh, self._table,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def fetch(self, idx_safe) -> Dict[str, jax.Array]:
         """Per-hit triangle payload for already-clamped indices."""
-        t = self.tris
-        return dict(v0=t.v0[idx_safe], e1=t.e1[idx_safe], e2=t.e2[idx_safe],
-                    normal=t.normal[idx_safe], velocity=t.velocity[idx_safe],
-                    material=t.material[idx_safe])
+        row = self._rows(idx_safe)
+        out = dict(v0=row[..., 0:3], e1=row[..., 3:6], e2=row[..., 6:9],
+                   normal=row[..., 9:12], velocity=row[..., 12:15])
+        out["eta"] = EtaPrecomputed(**{
+            f: row[..., _GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
+        return out
 
     def normal_at(self, idx_safe):
+        if self._table is not None:
+            return self._rows(idx_safe)[..., 9:12]
         return self.tris.normal[idx_safe]
 
 
 def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
+    def jnp_fn(o, d, t_max=None):
+        t, idx = intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+        if t_max is not None:
+            within = t <= jax.lax.stop_gradient(jnp.asarray(t_max, t.dtype))
+            t = jnp.where(within, t, jnp.inf)
+            idx = jnp.where(within, idx, -1)
+        return t, idx
+
     if cfg.backend == "jnp":
-        return lambda o, d: intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+        return jnp_fn
     if cfg.backend in ("pallas", "auto"):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
@@ -143,8 +201,7 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
         except Exception:
             if cfg.backend == "pallas":
                 raise
-            return lambda o, d: intersect_jnp(o, d, tris,
-                                              chunk_size=cfg.ray_chunk)
+            return jnp_fn
     raise ValueError(cfg.backend)
 
 
@@ -152,10 +209,6 @@ def _safe_norm(v):
     n2 = dot3(v, v)
     n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
     return jnp.where(n2 > 0, n, 0.0)
-
-
-def _acos_clipped(x):
-    return jnp.arccos(jnp.clip(x, -_CLIP, _CLIP))
 
 
 def _recompute_t(o, d, hit, live):
@@ -180,7 +233,8 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
     d2 = dot3(dvec, dvec)
     coincident = d2 < FLT_EPS
 
-    t_hit, idx = access.intersect(o, dvec)
+    # occlusion only (t in units of |d|); range-limit as a perf hint
+    t_hit, idx = access.intersect(o, dvec, t_max=1.0)
     blocked = (idx >= 0) & (t_hit <= 1.0) & ~coincident
 
     dist = jnp.sqrt(jnp.where(coincident, 1.0, d2))
@@ -222,7 +276,7 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
     return los, rays
 
 
-def bounce_step(carry, _, *, access, eta: EtaPrecomputed, rx_pos, fslm, k_dop,
+def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
                 cfg: TracerConfig):
     """One bounce: reflect every active ray off its nearest triangle, then
     scatter a shadow ray from the hit point to every RX
@@ -241,12 +295,17 @@ def bounce_step(carry, _, *, access, eta: EtaPrecomputed, rx_pos, fslm, k_dop,
     t = _recompute_t(o, d, hit, live)
     n = hit["normal"]
     ndot = dot3(n, d)
-    th = _acos_clipped(ndot)
-    theta = jnp.where(th > PI / 2, PI - th, th)  # fold (compute_paths.c:282-283)
-    mat_rows = eta.gather(hit["material"])
+    # folded incidence (compute_paths.c:282-283): theta = acos(|n.d|); the
+    # trig the reference derives from it is computed algebraically —
+    # cos(theta) = |n.d|, sin(theta) = sqrt(1 - (n.d)^2) — no acos/sin/cos
+    # round-trips (equal to the C chain within f32 rounding).
+    cos_t1 = jnp.clip(jnp.abs(ndot), 0.0, _CLIP)
+    sin_t1 = jnp.sqrt(1.0 - cos_t1 * cos_t1)
+    theta = fast_acos(cos_t1)
+    mat_rows = hit["eta"]
 
     # --- Fresnel reflection + per-segment free-space loss ---
-    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, theta)
+    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, cos_t1, sin_t1)
     fsl2 = (fslm * t) ** 2
     fscale = jnp.where(fsl2 > 1.0, 1.0 / jnp.where(fsl2 > 1.0, fsl2, 1.0), 1.0)
     r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
@@ -289,11 +348,15 @@ def bounce_step(carry, _, *, access, eta: EtaPrecomputed, rx_pos, fslm, k_dop,
         blocked = (idx_o >= 0) & (t_o <= 1.0)
     else:
         eps_o = jnp.float32(cfg.occlusion_offset)
-        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds), flat(ds))
-        blocked = (idx_o >= 0) & (t_o <= flat(d2rx) - 2.0 * eps_o)
+        limit = flat(d2rx) - 2.0 * eps_o
+        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds), flat(ds),
+                                      t_max=limit)
+        blocked = (idx_o >= 0) & (t_o <= limit)
     blocked = blocked.reshape(nrx, -1)
 
-    theta_s = _acos_clipped(dot3(ds, n[None]))                # no fold (c:694)
+    ds_dot_n = dot3(ds, n[None])
+    cos_ts = jnp.clip(ds_dot_n, -_CLIP, _CLIP)
+    theta_s = fast_acos(cos_ts)                               # no fold (c:694)
 
     if cfg.parity == "reference":
         # Deep reference quirk: the shadow-ray moeller_trumbore call writes
@@ -307,19 +370,25 @@ def bounce_step(carry, _, *, access, eta: EtaPrecomputed, rx_pos, fslm, k_dop,
         idx_o2 = jax.lax.stop_gradient(idx_o).reshape(nrx, -1)
         occl_hit = idx_o2 >= 0
         n_o = access.normal_at(jnp.maximum(idx_o2, 0))        # [NRx, R, 3]
-        th_o = _acos_clipped(dot3(n_o, ds))
-        th_o = jnp.where(th_o > PI / 2, PI - th_o, th_o)      # MT folds (c:282)
-        th_c = theta
-        th_used = []
+        cos_o = jnp.clip(jnp.abs(dot3(n_o, ds)), 0.0, _CLIP)  # MT folds (c:282)
+        th_o = fast_acos(cos_o)
+        th_c, cos_c = theta, cos_t1
+        th_used, cos_used = [], []
         for k in range(nrx):
             th_c = jnp.where(occl_hit[k], th_o[k], th_c)
+            cos_c = jnp.where(occl_hit[k], cos_o[k], cos_c)
             th_used.append(th_c)
+            cos_used.append(cos_c)
         theta_i_scat = jnp.stack(th_used)                     # [NRx, R]
+        cos_ti = jnp.stack(cos_used)
     else:
         theta_i_scat = jnp.broadcast_to(theta[None], theta_s.shape)
+        cos_ti = jnp.broadcast_to(cos_t1[None], theta_s.shape)
+    sin_ti = jnp.sqrt(1.0 - cos_ti * cos_ti)
 
     s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
-        theta_s, theta_i_scat, mat_rows.s[None], mat_rows.s1_alpha[None])
+        theta_s, theta_i_scat, mat_rows.s[None], mat_rows.s1_alpha[None],
+        cos_ts=cos_ts, cos_ti=cos_ti, sin_ti=sin_ti)
 
     out_te_re = ate_re[None] * s_te_re - ate_im[None] * s_te_im
     out_te_im = ate_re[None] * s_te_im + ate_im[None] * s_te_re
@@ -361,9 +430,9 @@ def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None):
     return (o0, d0, ones, zeros, ones, zeros, zeros, act, freq0)
 
 
-def scatter_scan(access, eta, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
+def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
     """Run the bounce loop; returns the stacked per-bounce outputs."""
-    step = partial(bounce_step, access=access, eta=eta, rx_pos=rx_pos,
+    step = partial(bounce_step, access=access, rx_pos=rx_pos,
                    fslm=fslm, k_dop=k_dop, cfg=cfg)
     B = cfg.num_bounces
     _, ys = jax.lax.scan(step, carry0, None, length=B,
@@ -436,15 +505,15 @@ def trace_paths(tris: TriangleSoA,
 
     if launch_dirs is None:
         launch_dirs = jnp.asarray(fibonacci_sphere(P))
-    access = LocalSceneAccess(tris, intersect_fn, cfg)
     eta = precompute_eta(materials, carrier_frequency_ghz)
+    access = LocalSceneAccess(tris, intersect_fn, cfg, eta=eta)
 
     los, rays_los = _los_pass(access, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
                               k_dop, cfg)
 
     carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop)
     o0, d0 = carry0[0], carry0[1]
-    ys = scatter_scan(access, eta, rx_pos, carry0, fslm, k_dop, cfg)
+    ys = scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)
     scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,
                                              cfg.keep_rays)
     return PathsResult(los=los, scatter=scatter, rays_los=rays_los,

@@ -80,6 +80,59 @@ def test_kernel_multi_tri_tiles(rng):
     assert agree > 0.995
 
 
+def test_culled_kernel_matches_plain(rng):
+    """AABB tile culling must not change any hit decision."""
+    from hermespy_rt_tpu.ops.intersect_pallas import pallas_intersect
+    soa = flatten_scene(random_soup_scene(700, seed=13), pad_to=128)
+    R = 1024
+    o = rng.uniform(-60, 60, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0, i0 = pallas_intersect(o, d, soa, interpret=True, cull=False,
+                              block_tris=128)
+    t1, i1 = pallas_intersect(o, d, soa, interpret=True, cull=True,
+                              block_tris=128)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_t_max_range_query(rng):
+    """Range-limited queries: hits beyond t_max report as misses, in both the
+    plain (post-filter) and culled (in-kernel) paths."""
+    from hermespy_rt_tpu.ops.intersect_pallas import pallas_intersect
+    soa = flatten_scene(random_soup_scene(700, seed=17), pad_to=128)
+    R = 512
+    o = rng.uniform(-60, 60, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_full, i_full = pallas_intersect(o, d, soa, interpret=True, cull=False)
+    for cull in (False, True):
+        t_lim, i_lim = pallas_intersect(o, d, soa, interpret=True, cull=cull,
+                                        block_tris=128, t_max=20.0)
+        want_hit = np.asarray(i_full >= 0) & (np.asarray(t_full) <= 20.0)
+        assert np.array_equal(np.asarray(i_lim) >= 0, want_hit), f"cull={cull}"
+        m = want_hit
+        np.testing.assert_array_equal(np.asarray(i_lim)[m],
+                                      np.asarray(i_full)[m])
+    # per-ray t_max array
+    tm = jnp.full((R,), 15.0, jnp.float32)
+    t_arr, i_arr = pallas_intersect(o, d, soa, interpret=True, cull=True,
+                                    block_tris=128, t_max=tm)
+    want = np.asarray(i_full >= 0) & (np.asarray(t_full) <= 15.0)
+    assert np.array_equal(np.asarray(i_arr) >= 0, want)
+
+
+def test_precision_highest_available():
+    from hermespy_rt_tpu.ops.intersect_pallas import pallas_intersect
+    soa = flatten_scene(box_scene(), pad_to=128)
+    o = jnp.asarray([[0.0, 0.0, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, idx = pallas_intersect(o, d, soa, interpret=True, precision="highest")
+    assert int(idx[0]) >= 0
+
+
 def test_tracer_with_pallas_backend_matches_jnp():
     import hermespy_rt_tpu as hrt
     rx = [[0, 0, 0.15]]
