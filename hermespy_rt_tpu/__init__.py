@@ -14,6 +14,7 @@ from .scene import (HostMesh, HostScene, TriangleSoA, flatten_scene, load_hrt,
                     save_hrt, load_scene, load_sionna_xml, load_ply,
                     box_scene, simple_reflector_scene)
 from .tracer import ChannelInfo, PathsResult, RaysInfo, trace_paths
+from . import models, parallel, utils  # noqa: F401 (subsystem namespaces)
 
 __version__ = "0.1.0"
 

@@ -50,6 +50,12 @@ class TracerConfig:
     # plain XLA gather, "auto" = onehot for scenes up to 4096 padded
     # triangles, take beyond.
     gather: str = "auto"
+    # Pallas intersection kernel precision: "highest" = exact f32 MXU passes;
+    # "high" = manual bf16x3 (~1.5x faster, ~2^-16 relative — epsilon-edge
+    # hit decisions may flip, e.g. across coplanar quad diagonals).
+    precision: str = "highest"
+    # per-tile AABB culling in the kernel (pays only for coherent ray sets)
+    cull: bool = False
 
     def __post_init__(self):
         if self.parity not in ("reference", "physical"):
@@ -60,3 +66,5 @@ class TracerConfig:
             raise ValueError("num_paths and num_bounces must be > 0")
         if self.gather not in ("auto", "onehot", "take"):
             raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")
+        if self.precision not in ("highest", "high"):
+            raise ValueError(f"precision must be 'highest' or 'high', got {self.precision!r}")

@@ -1,1 +1,8 @@
 """Higher-level channel models built on the tracer."""
+from .channel import (cir, combine_paths, narrowband_coefficients,
+                      path_gain_db, rms_delay_spread)
+from .sweep import SweepConfig, run_sweep, load_sweep_results
+
+__all__ = ["cir", "combine_paths", "narrowband_coefficients", "path_gain_db",
+           "rms_delay_spread", "SweepConfig", "run_sweep",
+           "load_sweep_results"]

@@ -67,6 +67,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint32, f32p]
     lib.hrt_flatten.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                 f32p, f32p, f32p, f32p, f32p, i32p, i32p]
+    lib.hrt_load_ply.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                 ctypes.c_uint32, f32p]
     _lib = lib
     return _lib
 

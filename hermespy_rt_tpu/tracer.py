@@ -197,7 +197,9 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
             return make_pallas_intersect(tris, block_rays=cfg.block_rays,
-                                         block_tris=cfg.block_tris)
+                                         block_tris=cfg.block_tris,
+                                         precision=cfg.precision,
+                                         cull=cfg.cull)
         except Exception:
             if cfg.backend == "pallas":
                 raise
