@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 
+# persistent compile cache: repeat runs skip the slow remote compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 
 
@@ -31,7 +36,7 @@ def _scene():
     return random_soup_scene(234, seed=0, extent=90.0, tri_size=8.0)
 
 
-def measure_tpu(num_paths=1 << 21, num_bounces=3, iters=8):
+def measure_tpu(num_paths=1 << 20, num_bounces=3, iters=8):
     import jax
     import jax.numpy as jnp
     from hermespy_rt_tpu.config import TracerConfig
@@ -40,8 +45,11 @@ def measure_tpu(num_paths=1 << 21, num_bounces=3, iters=8):
     from hermespy_rt_tpu.scene import flatten_scene
     from hermespy_rt_tpu.tracer import trace_paths
 
+    # scan (not unrolled) keeps the HLO small: compiles over the remote TPU
+    # tunnel take minutes for the unrolled 3-bounce grad graph.
     cfg = TracerConfig(num_paths=num_paths, num_bounces=num_bounces,
-                       backend="auto", keep_rays=False)
+                       backend="auto", keep_rays=False,
+                       unroll_bounces=False)
     tris = flatten_scene(_scene())
     mats = default_materials()
     dirs = jnp.asarray(fibonacci_sphere(num_paths))

@@ -8,12 +8,12 @@ Doppler evolution, and summary statistics — all jit/vmap/grad-compatible.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..tracer import ChannelInfo, PathsResult
+from ..tracer import PathsResult
 
 __all__ = ["combine_paths", "cir", "narrowband_coefficients", "path_gain_db",
            "rms_delay_spread"]

@@ -26,7 +26,6 @@ semantics of the workload instead:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ Möller–Trumbore determinant exactly 0 and therefore can never be hit.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp
