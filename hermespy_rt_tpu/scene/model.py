@@ -105,13 +105,42 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def flatten_scene(scene: HostScene, pad_to: int = 128) -> TriangleSoA:
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Spatial sort permutation: 3x10-bit Morton codes of triangle centroids.
+
+    Groups nearby triangles into the same kernel tile so per-tile AABBs are
+    tight (the BVH substitute for 100k+-triangle Sionna scenes — SURVEY.md §5
+    triangle-scaling row)."""
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centroids - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):  # interleave 10 bits with 2-bit gaps
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
+def flatten_scene(scene: HostScene, pad_to: int = 128,
+                  sort_triangles: bool = False) -> TriangleSoA:
     """Flatten all meshes into a padded :class:`TriangleSoA`.
 
     The reference computes normals per mesh at trace time
     (/root/reference/src/compute_paths.c:208-224); here they are computed once
     at flatten time, in float32 and in the same operation order
     (``normalize(cross(v2 - v1, v3 - v1))``) for parity.
+
+    ``sort_triangles`` reorders triangles along a Morton curve for tight
+    kernel-tile AABBs (enables effective culling on large scenes).  Off by
+    default: reordering changes which triangle index wins exact-tie nearest
+    hits, so golden-parity runs keep file order (the reference's first-hit
+    tie-break is file-order dependent).
     """
     v0s, e1s, e2s, mats, vels, mids = [], [], [], [], [], []
     for mi, mesh in enumerate(scene.meshes):
@@ -135,6 +164,12 @@ def flatten_scene(scene: HostScene, pad_to: int = 128) -> TriangleSoA:
     material = np.concatenate(mats, axis=0)
     velocity = np.concatenate(vels, axis=0).astype(np.float32)
     mesh_id = np.concatenate(mids, axis=0)
+
+    if sort_triangles and v0.shape[0] > 1:
+        perm = _morton_order(v0 + (e1 + e2) / 3.0)
+        v0, e1, e2, normal = v0[perm], e1[perm], e2[perm], normal[perm]
+        material, velocity, mesh_id = (material[perm], velocity[perm],
+                                       mesh_id[perm])
 
     num_t = v0.shape[0]
     pad_t = _round_up(max(num_t, 1), pad_to)

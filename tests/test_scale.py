@@ -1,0 +1,76 @@
+"""Large-scene path tests (BASELINE.json config 5: 100k+-triangle imported
+meshes).  CPU-sized here; the TPU-scale measurements live in benchmarks/."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import hermespy_rt_tpu as hrt
+from hermespy_rt_tpu.ops.intersect import intersect_jnp
+from hermespy_rt_tpu.ops.intersect_pallas import make_pallas_intersect
+from hermespy_rt_tpu.scene import flatten_scene, random_soup_scene
+from hermespy_rt_tpu.scene.model import _morton_order
+
+
+def test_large_scene_kernel_agreement(rng):
+    """Multi-tile triangle streaming (T >> block_tris) agrees with the jnp
+    reference; the 'take' gather path (T > 4096) works."""
+    scene = random_soup_scene(6000, seed=21, extent=80.0)
+    soa = flatten_scene(scene, pad_to=128)
+    assert soa.pad_triangles >= 6000
+    R = 512
+    o = rng.uniform(-90, 90, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t1, i1 = intersect_jnp(jnp.asarray(o), jnp.asarray(d), soa,
+                           chunk_size=256)
+    fn = make_pallas_intersect(soa, block_tris=256, interpret=True)
+    t2, i2 = fn(jnp.asarray(o), jnp.asarray(d))
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.995
+
+
+def test_large_scene_trace_uses_take_gather():
+    scene = random_soup_scene(5000, seed=4, extent=50.0)
+    cfg = hrt.TracerConfig(num_paths=128, num_bounces=2, backend="jnp",
+                           ray_chunk=128, keep_rays=False)
+    res = hrt.trace(scene, [[0.0, 0.0, 0.0]], [[5.0, 5.0, 5.0]], config=cfg)
+    a = np.asarray(res.scatter.a_te)
+    assert np.isfinite(a).all()
+    assert (np.abs(a) > 0).sum() > 0
+
+
+def test_morton_sort_preserves_results():
+    scene = random_soup_scene(500, seed=9, extent=40.0)
+    plain = flatten_scene(scene, pad_to=128)
+    sorted_ = flatten_scene(scene, pad_to=128, sort_triangles=True)
+    assert sorted_.num_triangles == plain.num_triangles
+    # same triangle set, different order
+    v_plain = np.sort(np.asarray(plain.v0)[:500], axis=0)
+    v_sorted = np.sort(np.asarray(sorted_.v0)[:500], axis=0)
+    np.testing.assert_allclose(v_plain, v_sorted)
+
+    rng = np.random.default_rng(2)
+    o = jnp.asarray(rng.uniform(-50, 50, (256, 3)).astype(np.float32))
+    d0 = rng.normal(size=(256, 3)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d = jnp.asarray(d0)
+    t1, i1 = intersect_jnp(o, d, plain)
+    t2, i2 = intersect_jnp(o, d, sorted_)
+    # same nearest distances (identities may differ only on exact ties)
+    m = np.asarray(i1) >= 0
+    assert (m == (np.asarray(i2) >= 0)).all()
+    np.testing.assert_allclose(np.asarray(t1)[m], np.asarray(t2)[m],
+                               rtol=1e-6)
+    # sorted order improves tile AABB tightness (mean tile bbox volume drops)
+    def mean_tile_extent(soa):
+        pts = np.asarray(soa.v0)[:500]
+        tiles = pts[: (500 // 128) * 128].reshape(-1, 128, 3)
+        return float(np.mean(tiles.max(1) - tiles.min(1)))
+    assert mean_tile_extent(sorted_) < mean_tile_extent(plain)
+
+
+def test_morton_order_is_permutation():
+    rng = np.random.default_rng(0)
+    c = rng.uniform(-10, 10, (777, 3))
+    perm = _morton_order(c)
+    assert sorted(perm.tolist()) == list(range(777))
