@@ -33,13 +33,22 @@ __all__ = ["compute_paths", "trace", "prepare_scene"]
 SceneLike = Union[str, HostScene, TriangleSoA]
 
 
-def prepare_scene(scene: SceneLike, pad_to: int = 128) -> TriangleSoA:
-    """Resolve a path / host scene / prepared SoA to a device TriangleSoA."""
+def prepare_scene(scene: SceneLike, pad_to: int = 128,
+                  sort_triangles: bool = False) -> TriangleSoA:
+    """Resolve a path / host scene / prepared SoA to a device TriangleSoA.
+
+    ``sort_triangles=True`` Morton-orders triangles for tight kernel-tile
+    AABBs — combined with ``TracerConfig(cull=True)`` this gave 3x on a
+    131k-triangle scene (see benchmarks/README.md).  Keep it off for golden
+    parity runs (exact-tie nearest hits follow file order in the reference).
+    """
     if isinstance(scene, TriangleSoA):
         return scene
     if isinstance(scene, HostScene):
-        return flatten_scene(scene, pad_to=pad_to)
-    return flatten_scene(load_scene(scene), pad_to=pad_to)
+        return flatten_scene(scene, pad_to=pad_to,
+                             sort_triangles=sort_triangles)
+    return flatten_scene(load_scene(scene), pad_to=pad_to,
+                         sort_triangles=sort_triangles)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -75,33 +75,35 @@ def trace_main(argv=None):
     rxv = parse_vecs(args.rx_vel, len(rx))
 
     import hermespy_rt_tpu as hrt
-    from .utils.profiling import log_metrics, time_trace
+    from .utils.profiling import device_to_numpy, log_metrics, time_trace
 
     cfg = hrt.TracerConfig(num_paths=args.paths, num_bounces=args.bounces,
                            parity=args.parity, backend=args.backend)
     scene = hrt.load_scene(args.scene)
     result = hrt.trace(scene, rx, tx, rxv, txv, args.frequency, config=cfg)
 
+    los_a_te = device_to_numpy(result.los.a_te)
+    scat_a_te = device_to_numpy(result.scatter.a_te)
     summary = {
         "scene": args.scene,
         "num_rx": len(rx), "num_tx": len(tx),
         "num_paths": args.paths, "num_bounces": args.bounces,
-        "los_active": int(np.sum(np.abs(np.asarray(result.los.a_te)) > 0)),
-        "scatter_nonzero": int(np.sum(np.abs(np.asarray(result.scatter.a_te)) > 0)),
-        "scatter_slots": int(np.asarray(result.scatter.a_te).size),
+        "los_active": int(np.sum(np.abs(los_a_te) > 0)),
+        "scatter_nonzero": int(np.sum(np.abs(scat_a_te) > 0)),
+        "scatter_slots": int(scat_a_te.size),
     }
 
     if args.output:
         np.savez(
             args.output,
-            los_a_te=np.asarray(result.los.a_te),
-            los_a_tm=np.asarray(result.los.a_tm),
+            los_a_te=los_a_te,
+            los_a_tm=device_to_numpy(result.los.a_tm),
             los_tau=np.asarray(result.los.tau),
             los_freq_shift=np.asarray(result.los.freq_shift),
             los_directions_rx=np.asarray(result.los.directions_rx),
             los_directions_tx=np.asarray(result.los.directions_tx),
-            scatter_a_te=np.asarray(result.scatter.a_te),
-            scatter_a_tm=np.asarray(result.scatter.a_tm),
+            scatter_a_te=scat_a_te,
+            scatter_a_tm=device_to_numpy(result.scatter.a_tm),
             scatter_tau=np.asarray(result.scatter.tau),
             scatter_freq_shift=np.asarray(result.scatter.freq_shift),
             scatter_directions_rx=np.asarray(result.scatter.directions_rx),

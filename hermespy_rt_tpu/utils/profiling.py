@@ -17,7 +17,22 @@ import jax
 
 logger = logging.getLogger("hermespy_rt_tpu")
 
-__all__ = ["TraceStats", "time_trace", "profile_trace", "log_metrics"]
+__all__ = ["TraceStats", "time_trace", "profile_trace", "log_metrics",
+           "device_to_numpy"]
+
+
+def device_to_numpy(x):
+    """Robust device->host transfer.  Some TPU transports (the axon tunnel in
+    this image) cannot transfer complex64 buffers; split into real/imag on
+    device and recombine on host."""
+    import jax.numpy as jnp
+    import numpy as np
+    if hasattr(x, "dtype") and jnp.iscomplexobj(x):
+        return (np.asarray(jnp.real(x)).astype(np.float32)
+                + 1j * np.asarray(jnp.imag(x)).astype(np.float32)
+                ).astype(np.complex64)
+    import numpy as _np
+    return _np.asarray(x)
 
 
 @dataclass

@@ -69,3 +69,19 @@ def test_path_gain_and_delay_spread_finite_and_differentiable():
 
     grad = jax.grad(loss)(mats)
     assert np.isfinite(np.asarray(grad.s)).all()
+
+
+def test_coverage_map():
+    from hermespy_rt_tpu.models.coverage import coverage_map
+    grid = coverage_map(hrt.box_scene(), [[0.0, 0.0, 4.0]],
+                        x_range=(-4, 4), y_range=(-4, 4), resolution=2.0,
+                        height=1.0,
+                        config=hrt.TracerConfig(num_paths=64, num_bounces=2,
+                                                backend="jnp",
+                                                keep_rays=False),
+                        batch_size=16)
+    assert grid.gain_db.shape == (5, 5)
+    assert np.isfinite(grid.gain_db).all()
+    assert not grid.los_blocked.any()  # open box interior: all LoS
+    # closer cells receive more power than corner cells
+    assert grid.gain_db[2, 2] >= grid.gain_db[0, 0]
