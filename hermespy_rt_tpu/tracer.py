@@ -406,8 +406,11 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     out_tm_re, out_tm_im = out_tm_re * wf, out_tm_im * wf
     out_tau = jnp.where(write, tau[None] + d2rx / SPEED_OF_LIGHT, 0.0)
     # Doppler of the scattered leg (compute_paths.c:719-722), well-defined
-    # (rx, tx, bounce, path) layout instead of the reference's aliased buffers.
-    out_freq = freq[None] - dot3(ds - d[None], vel[None]) * k_dop
+    # (rx, tx, bounce, path) layout instead of the reference's aliased
+    # buffers; rays that died earlier keep their accumulated value (their
+    # gathered triangle payload is a clamped-index placeholder).
+    scat_dop = dot3(ds - d[None], vel[None]) * k_dop
+    out_freq = freq[None] - jnp.where(live[None], scat_dop, 0.0)
     out_dir_rx = jnp.where(write[..., None], -ds, 0.0)
 
     carry = (o, d, ate_re, ate_im, atm_re, atm_im, tau, live, freq)
