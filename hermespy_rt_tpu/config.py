@@ -56,6 +56,11 @@ class TracerConfig:
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
+    # Occlusion with penetration loss (physical mode only): LoS paths and
+    # scatter shadow rays blocked by an obstacle are attenuated by the
+    # obstacle's ITU transmission coefficients (eqs. 31c/31d — the extension
+    # the reference left as TODO) instead of zeroed.  Nearest blocker only.
+    transmission: bool = False
 
     def __post_init__(self):
         if self.parity not in ("reference", "physical"):
@@ -68,3 +73,6 @@ class TracerConfig:
             raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")
         if self.precision not in ("highest", "high"):
             raise ValueError(f"precision must be 'highest' or 'high', got {self.precision!r}")
+        if self.transmission and self.parity != "physical":
+            raise ValueError("transmission=True requires parity='physical' "
+                             "(the reference semantics zero blocked paths)")

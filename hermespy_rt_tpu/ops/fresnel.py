@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..materials import MaterialTable
 
-__all__ = ["EtaPrecomputed", "precompute_eta", "refl_coefs", "complex_sqrt"]
+__all__ = ["EtaPrecomputed", "precompute_eta", "refl_coefs", "trans_coefs",
+           "complex_sqrt"]
 
 _FLT_EPS = 1.1920928955078125e-07  # __FLT_EPSILON__
 
@@ -150,3 +151,44 @@ def refl_coefs(eta: EtaPrecomputed, cos_t1, sin_t1) -> Tuple[
     r_tm_re = jnp.where(tir, 1.0, r_tm_re * eta.r)
     r_tm_im = jnp.where(tir, 0.0, r_tm_im * eta.r)
     return r_te_re, r_te_im, r_tm_re, r_tm_im
+
+
+def trans_coefs(eta: EtaPrecomputed, cos_t1, sin_t1) -> Tuple[
+        jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Complex (T_TE, T_TM) transmission coefficients, ITU-R P.2040-3 eqs.
+    (31c)/(31d):
+
+        T_eTE = 2 cos(t1) / (cos(t1) + sqrt(eta) cos(t2))
+        T_eTM = 2 sqrt(eta) cos(t1) / (sqrt(eta) cos(t1) + cos(t2))
+
+    with the same per-component eq.-33 approximation for cos(t2) as
+    :func:`refl_coefs` (consistency with the reflection math).  This is the
+    extension the reference left as TODO
+    (/root/reference/src/compute_paths.c:725-728); it powers the tracer's
+    "occlusion with penetration loss" mode.  Under total internal reflection
+    T = 0.  Returns ``(t_te_re, t_te_im, t_tm_re, t_tm_im)``.
+    """
+    tir = eta.eta_abs_inv_sqrt * sin_t1 > 1.0 - _FLT_EPS
+
+    sin2 = sin_t1 * sin_t1
+    cos_t2_re = _safe_sqrt(1.0 + eta.eta_inv_re / eta.eta_abs_pow2 * sin2)
+    cos_t2_im = _safe_sqrt(1.0 - eta.eta_inv_im / eta.eta_abs_pow2 * sin2)
+
+    # sqrt(eta) * cos(t2)
+    sec_re = eta.eta_sqrt_re * cos_t2_re - eta.eta_sqrt_im * cos_t2_im
+    sec_im = eta.eta_sqrt_re * cos_t2_im + eta.eta_sqrt_im * cos_t2_re
+    t_te_re, t_te_im = _cdiv(2.0 * cos_t1, jnp.zeros_like(cos_t1),
+                             cos_t1 + sec_re, sec_im)
+
+    # sqrt(eta) * cos(t1)
+    sc1_re = eta.eta_sqrt_re * cos_t1
+    sc1_im = eta.eta_sqrt_im * cos_t1
+    t_tm_re, t_tm_im = _cdiv(2.0 * sc1_re, 2.0 * sc1_im,
+                             sc1_re + cos_t2_re, sc1_im + cos_t2_im)
+
+    zero = jnp.zeros_like(cos_t1)
+    t_te_re = jnp.where(tir, zero, t_te_re)
+    t_te_im = jnp.where(tir, zero, t_te_im)
+    t_tm_re = jnp.where(tir, zero, t_tm_re)
+    t_tm_im = jnp.where(tir, zero, t_tm_im)
+    return t_te_re, t_te_im, t_tm_re, t_tm_im

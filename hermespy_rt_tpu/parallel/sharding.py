@@ -192,8 +192,9 @@ def trace_paths_sharded(tris: TriangleSoA,
     eta = precompute_eta(materials, carrier_frequency_ghz)
 
     # LoS is O(nrx*ntx) — replicated, outside the shard_map.
-    los, rays_los = _los_pass(LocalSceneAccess(tris, None, cfg), rx_pos,
-                              tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg)
+    los, rays_los = _los_pass(LocalSceneAccess(tris, None, cfg, eta=eta),
+                              rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop,
+                              cfg)
 
     carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop)
     o0, d0 = carry0[0], carry0[1]

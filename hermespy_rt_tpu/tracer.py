@@ -244,8 +244,25 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
 
     fsl = fslm * dist
     amp = jnp.where(fsl > 1.0, 1.0 / jnp.where(fsl > 1.0, fsl, 1.0), 1.0)
-    a_re = jnp.where(coincident, 1.0, jnp.where(blocked, 0.0, amp))
-    tau = jnp.where(coincident | blocked, 0.0, dist / SPEED_OF_LIGHT)
+    if cfg.transmission:
+        # occlusion with penetration loss: attenuate blocked LoS paths by the
+        # nearest blocker's ITU transmission coefficients (eqs. 31c/31d)
+        from .ops.fresnel import trans_coefs
+        hit_b = access.fetch(jnp.maximum(idx, 0))
+        cos1 = jnp.clip(jnp.abs(dot3(hit_b["normal"], dn)), 0.0, _CLIP)
+        sin1 = jnp.sqrt(1.0 - cos1 * cos1)
+        tte_re, tte_im, ttm_re, ttm_im = trans_coefs(hit_b["eta"], cos1, sin1)
+        bf = blocked.astype(jnp.float32)
+        te_re = jnp.where(coincident, 1.0, amp * (1.0 + bf * (tte_re - 1.0)))
+        te_im = jnp.where(coincident, 0.0, amp * bf * tte_im)
+        tm_re = jnp.where(coincident, 1.0, amp * (1.0 + bf * (ttm_re - 1.0)))
+        tm_im = jnp.where(coincident, 0.0, amp * bf * ttm_im)
+        tau = jnp.where(coincident, 0.0, dist / SPEED_OF_LIGHT)
+    else:
+        a_re = jnp.where(coincident, 1.0, jnp.where(blocked, 0.0, amp))
+        te_re = tm_re = a_re
+        te_im = tm_im = jnp.zeros_like(a_re)
+        tau = jnp.where(coincident | blocked, 0.0, dist / SPEED_OF_LIGHT)
 
     if cfg.parity == "reference":
         # Reference bug kept for parity: velocity row 0 for every pair
@@ -256,7 +273,10 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
         txv = jnp.broadcast_to(tx_vel[None, :, :], (nrx, ntx, 3)).reshape(-1, 3)
         rxv = jnp.broadcast_to(rx_vel[:, None, :], (nrx, ntx, 3)).reshape(-1, 3)
     freq = (dot3(txv, dn) - dot3(rxv, dn)) * k_dop
-    freq = jnp.where(coincident | blocked, 0.0, freq)
+    if cfg.transmission:
+        freq = jnp.where(coincident, 0.0, freq)
+    else:
+        freq = jnp.where(coincident | blocked, 0.0, freq)
 
     x_hat = jnp.array([1.0, 0.0, 0.0], jnp.float32)
     dir_tx = jnp.where(coincident[:, None], x_hat[None, :], dn)
@@ -265,8 +285,8 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
     los = ChannelInfo(
         directions_rx=dir_rx.reshape(nrx, ntx, 1, 3),
         directions_tx=dir_tx.reshape(nrx, ntx, 1, 3),
-        a_te=(a_re + 0j).astype(jnp.complex64).reshape(nrx, ntx, 1),
-        a_tm=(a_re + 0j).astype(jnp.complex64).reshape(nrx, ntx, 1),
+        a_te=(te_re + 1j * te_im).astype(jnp.complex64).reshape(nrx, ntx, 1),
+        a_tm=(tm_re + 1j * tm_im).astype(jnp.complex64).reshape(nrx, ntx, 1),
         tau=tau.reshape(nrx, ntx, 1),
         freq_shift=freq.reshape(nrx, ntx, 1),
     )
@@ -399,7 +419,28 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
 
     fsl_s2 = (fslm * d2rx) ** 2
     sscale = jnp.where(fsl_s2 > 1.0, 1.0 / jnp.where(fsl_s2 > 1.0, fsl_s2, 1.0), 1.0)
-    write = live[None] & ~blocked
+    if cfg.transmission:
+        # blocked shadow rays transmit through the nearest blocker with the
+        # ITU (31c)/(31d) coefficients instead of being zeroed
+        from .ops.fresnel import trans_coefs
+        hit_o = access.fetch(
+            jax.lax.stop_gradient(jnp.maximum(idx_o, 0)).reshape(nrx, -1))
+        cos1b = jnp.clip(jnp.abs(dot3(hit_o["normal"], ds)), 0.0, _CLIP)
+        sin1b = jnp.sqrt(1.0 - cos1b * cos1b)
+        tte_re, tte_im, ttm_re, ttm_im = trans_coefs(hit_o["eta"], cos1b,
+                                                     sin1b)
+        bf = blocked.astype(jnp.float32)
+        fte_re = 1.0 + bf * (tte_re - 1.0)
+        fte_im = bf * tte_im
+        ftm_re = 1.0 + bf * (ttm_re - 1.0)
+        ftm_im = bf * ttm_im
+        out_te_re, out_te_im = (out_te_re * fte_re - out_te_im * fte_im,
+                                out_te_re * fte_im + out_te_im * fte_re)
+        out_tm_re, out_tm_im = (out_tm_re * ftm_re - out_tm_im * ftm_im,
+                                out_tm_re * ftm_im + out_tm_im * ftm_re)
+        write = jnp.broadcast_to(live[None], blocked.shape)
+    else:
+        write = live[None] & ~blocked
     wf = write.astype(jnp.float32) * sscale
 
     out_te_re, out_te_im = out_te_re * wf, out_te_im * wf
