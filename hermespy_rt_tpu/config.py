@@ -50,12 +50,26 @@ class TracerConfig:
     # plain XLA gather, "auto" = onehot for scenes up to 4096 padded
     # triangles, take beyond.
     gather: str = "auto"
-    # Pallas intersection kernel precision: "highest" = exact f32 MXU passes;
-    # "high" = manual bf16x3 (~1.5x faster, ~2^-16 relative — epsilon-edge
-    # hit decisions may flip, e.g. across coplanar quad diagonals).
+    # Pallas intersection kernel precision:
+    #   "exact1"  - full-f32-grade contraction in ONE native bf16 MXU pass:
+    #               operands limb-split along the (otherwise padded) K axis,
+    #               all limb products >= 2^-24 kept.  Same error bound as
+    #               "highest" at ~1/6 the MXU work.
+    #   "highest" - exact f32 via XLA's 6-bf16-pass decomposition.
+    #   "bf16x2"  - two-limb operands, full 4-term product (4 passes); exact
+    #               arithmetic on geometry rounded to ~16 mantissa bits.
+    #   "high"    - bf16x3 cross terms only (3 passes); epsilon-edge hit
+    #               decisions may flip (e.g. across coplanar quad diagonals).
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
+    # Active-ray compaction: before each intersection query, permute rays so
+    # the active ones form a contiguous tile prefix and hand the kernel a
+    # t_max of -1 for dead rays — whole dead ray-tiles are then skipped by
+    # the culled kernel's reach test.  Exact (results are un-permuted);
+    # pays from bounce 1 on, where activity drops to ~46%/~24% on the canyon
+    # scene.  Implies the culled kernel for in-bounce queries.
+    compact_rays: bool = False
     # Occlusion with penetration loss (physical mode only): LoS paths and
     # scatter shadow rays blocked by an obstacle are attenuated by the
     # obstacle's ITU transmission coefficients (eqs. 31c/31d — the extension
@@ -71,8 +85,9 @@ class TracerConfig:
             raise ValueError("num_paths and num_bounces must be > 0")
         if self.gather not in ("auto", "onehot", "take"):
             raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")
-        if self.precision not in ("highest", "high"):
-            raise ValueError(f"precision must be 'highest' or 'high', got {self.precision!r}")
+        if self.precision not in ("highest", "exact1", "bf16x2", "high"):
+            raise ValueError("precision must be 'highest', 'exact1', "
+                             f"'bf16x2' or 'high', got {self.precision!r}")
         if self.transmission and self.parity != "physical":
             raise ValueError("transmission=True requires parity='physical' "
                              "(the reference semantics zero blocked paths)")

@@ -52,10 +52,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _tri_derived(tris: TriangleSoA):
+def _tri_derived(tris: TriangleSoA, center=None):
     v0 = jax.lax.stop_gradient(tris.v0)
     e1 = jax.lax.stop_gradient(tris.e1)
     e2 = jax.lax.stop_gradient(tris.e2)
+    if center is not None:
+        v0 = v0 - center[None, :]
     nun = jnp.cross(e1, e2)                        # [T, 3]
     c_u = jnp.cross(e2, v0)
     c_v = jnp.cross(v0, e1)
@@ -63,13 +65,13 @@ def _tri_derived(tris: TriangleSoA):
     return v0, e1, e2, nun, c_u, c_v, k
 
 
-def _triangle_matrices(tris: TriangleSoA) -> jax.Array:
+def _triangle_matrices(tris: TriangleSoA, center=None) -> jax.Array:
     """Per-triangle contraction matrices G f32[4, Tpad, 16] (det, u, v, t rows)
     for the MXU variant.  Computed from the SoA each call (O(T), fuses into
     the surrounding jit) and explicitly non-differentiable: hit decisions are
     piecewise constant.
     """
-    v0, e1, e2, nun, c_u, c_v, k = _tri_derived(tris)
+    v0, e1, e2, nun, c_u, c_v, k = _tri_derived(tris, center)
     T = v0.shape[0]
     zeros3 = jnp.zeros((T, 3), jnp.float32)
     zeros1 = jnp.zeros((T, 1), jnp.float32)
@@ -82,10 +84,13 @@ def _triangle_matrices(tris: TriangleSoA) -> jax.Array:
     return jnp.stack([g_det, g_u, g_v, g_t])       # [4, T, 16]
 
 
-def _ray_features(o: jax.Array, d: jax.Array, r_pad: int) -> jax.Array:
+def _ray_features(o: jax.Array, d: jax.Array, r_pad: int,
+                  center=None) -> jax.Array:
     """Ray feature matrix F f32[16, Rpad]: rows d, m = o x d, o, 1, padding."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    if center is not None:
+        o = o - center[None, :]
     R = o.shape[0]
     m = jnp.cross(o, d)
     feats = jnp.concatenate(
@@ -104,25 +109,83 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _split3_bf16(x):
+    """f32 -> (h1, h2, h3) bf16 triple with h1+h2+h3 == x exactly (a 24-bit
+    mantissa splits exactly into three 8-bit bf16 limbs)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+# K-axis limb expansion for the "exact1" mode: the MXU pads the contraction
+# dimension 16 -> 128 regardless, so instead of paying extra *passes* for f32
+# precision (XLA HIGHEST = 6 bf16 passes), spend the free K lanes.  Each of
+# the 16 base feature columns becomes 8 columns carrying the (G limb i,
+# F limb j) combinations below; one native-bf16 [T,128]@[128,R] pass then
+# accumulates every limb product >= 2^-24 relative in f32 — the same error
+# bound as an exact f32 contraction (only the 2^-32 (h3,h3) term is dropped),
+# at 1/6 of the HIGHEST MXU work.
+_EXACT1_COMBOS = ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1),
+                  (1, 2), (2, 1))
+_NFEAT_EXACT1 = _NFEAT * len(_EXACT1_COMBOS)  # = 128
+
+
+def _expand_g_exact1(g: jax.Array) -> jax.Array:
+    """[4, T, 16] f32 -> [4, T, 128] bf16 (G limb per combo slot)."""
+    limbs = _split3_bf16(g)
+    return jnp.concatenate([limbs[i] for i, _ in _EXACT1_COMBOS], axis=-1)
+
+
+def _expand_f_exact1(f: jax.Array) -> jax.Array:
+    """[16, R] f32 -> [128, R] bf16 (F limb per combo slot)."""
+    limbs = _split3_bf16(f)
+    return jnp.concatenate([limbs[j] for _, j in _EXACT1_COMBOS], axis=0)
+
+
 def _mt_terms_mxu(g_ref, f, precision):
     """det/u/v/t for the tile via 4 [TILE_T,16]@[16,TILE_R] MXU contractions.
 
-    ``precision`` "highest" uses exact-f32 passes.  "high" implements the
-    bf16x3 decomposition manually (Mosaic has no HIGH lowering): with
-    g = gh + gl and f = fh + fl, ``g@f ~ gh@fh + gh@fl + gl@fh`` — three
-    native-bf16 MXU passes, ~2x the speed of exact f32 at ~2^-16 relative
-    error (only epsilon-edge hit decisions can differ; all differentiable
-    quantities are recomputed in f32 from the returned indices).
+    ``precision`` selects the MXU strategy:
+
+    * ``"highest"`` — exact f32 (XLA's 6-bf16-pass decomposition).
+    * ``"bf16x2"`` — both operands split into two bf16 limbs (``g = gh + gl``
+      up to a ~2^-16 representation residual) and the FULL four-term product
+      ``gh@fh + gh@fl + gl@fh + gl@fl`` evaluated — 4 native-bf16 passes.
+      Because all cross terms are kept, this is *exact* (to f32 accumulation,
+      same as "highest") arithmetic on the limb-rounded operands: the result
+      equals an exact trace of a scene whose G/F entries moved by ≤ 2^-16
+      relative.  Decisions are self-consistent; flips vs "highest" need a ray
+      genuinely within the perturbation of a triangle edge.  ~1.5x "highest".
+    * ``"high"`` — bf16x3: drops the ``gl@fl`` term (3 passes, fastest).  The
+      dropped term is a true arithmetic error (~2^-16 of the term magnitude
+      sum), which cancellation can amplify — epsilon-edge decisions flip more
+      often than bf16x2.  Opt-in only.
     """
-    if precision == jax.lax.Precision.HIGHEST:
+    if precision == "highest":
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
+        return (dot(g_ref[0], f), dot(g_ref[1], f), dot(g_ref[2], f),
+                dot(g_ref[3], f))
+
+    if precision == "exact1":
+        # operands arrive pre-expanded to bf16 K-limb columns: one native
+        # pass per quantity IS the full-precision contraction.
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         return (dot(g_ref[0], f), dot(g_ref[1], f), dot(g_ref[2], f),
                 dot(g_ref[3], f))
 
     fh, fl = _split_bf16(f)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
+
+    if precision == "bf16x2":
+        def dot4x(g):
+            gh, gl = _split_bf16(g)
+            return (dot(gh, fh) + dot(gl, fl)) + (dot(gh, fl) + dot(gl, fh))
+        return (dot4x(g_ref[0]), dot4x(g_ref[1]), dot4x(g_ref[2]),
+                dot4x(g_ref[3]))
 
     def dot3x(g):
         gh, gl = _split_bf16(g)
@@ -172,7 +235,7 @@ def _kernel(g_ref, f_ref, t_ref, i_ref, *, block_tris: int, precision):
                None)
 
 
-def _kernel_culled(aabb_ref, g_ref, f_ref, lim_ref, t_ref, i_ref, *,
+def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, lim_ref, t_ref, i_ref, *,
                    block_tris: int, precision, has_limit: bool):
     """Nearest-hit step with per-(ray-tile, tri-tile) AABB culling.
 
@@ -190,9 +253,10 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, lim_ref, t_ref, i_ref, *,
         t_ref[...] = jnp.full_like(t_ref, _BIG)
         i_ref[...] = jnp.full_like(i_ref, -1)
 
-    f = f_ref[...]                                             # [16, TILE_R]
-    d = f[0:3, :]
-    o = f[6:9, :]
+    f = f_ref[...]                                      # [NFEAT, TILE_R]
+    od = od_ref[...]                                     # f32 [8, TILE_R]
+    d = od[0:3, :]
+    o = od[3:6, :]
     # slab test (branchless, inf-safe): per-axis entry/exit
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
     lo = (aabb_ref[j, 0:3][:, None] - o) * inv                 # [3, TILE_R]
@@ -212,19 +276,40 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, lim_ref, t_ref, i_ref, *,
         _tile_body(g_ref, f, t_ref, i_ref, j, block_tris, precision, t_lim)
 
 
-_PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}
+_PRECISIONS = ("highest", "exact1", "bf16x2", "high")
 
 
-def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int) -> jax.Array:
+def _scene_center(tris: TriangleSoA) -> jax.Array:
+    """AABB midpoint of the real (non-padding) triangles, f32[3].
+
+    Used to re-center geometry and rays for the reduced-precision modes: the
+    MT triple-product reformulation carries absolute coordinates into the
+    contraction terms (m = o x d, c_u = e2 x v0, k = v0 . Nun), so term
+    magnitudes — and hence the bf16-limb rounding error after cancellation —
+    scale with the distance from the origin.  All four MT quantities are
+    translation-invariant, so shifting both v0 and o by the scene center is
+    free and cuts the error scale from |scene position| to |scene extent|.
+    """
+    v0 = jax.lax.stop_gradient(tris.v0)
+    e1 = jax.lax.stop_gradient(tris.e1)
+    e2 = jax.lax.stop_gradient(tris.e2)
+    real = (jnp.arange(v0.shape[0]) < tris.num_triangles)[:, None, None]
+    pts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)            # [T, 3, 3]
+    lo = jnp.where(real, pts, jnp.inf).min(axis=(0, 1))        # [3]
+    hi = jnp.where(real, pts, -jnp.inf).max(axis=(0, 1))
+    c = 0.5 * (lo + hi)
+    return jnp.where(jnp.isfinite(c), c, 0.0)
+
+
+def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
+                center=None) -> jax.Array:
     """Conservative AABB per triangle tile, f32[nTiles, 8]; padding rows are
     excluded so empty tiles collapse to an unhittable inverted box."""
     v0 = jax.lax.stop_gradient(tris.v0)
     e1 = jax.lax.stop_gradient(tris.e1)
     e2 = jax.lax.stop_gradient(tris.e2)
+    if center is not None:
+        v0 = v0 - center[None, :]
     real = (jnp.arange(v0.shape[0]) < tris.num_triangles)[:, None]
     pts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)            # [T, 3, 3]
     lo = jnp.where(real[:, None], pts, jnp.inf).min(axis=1)    # [T, 3]
@@ -251,16 +336,26 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
     r_pad = _round_up(max(R, block_rays), block_rays)
     t_pad = _round_up(t_total, block_tris)
 
-    g = _triangle_matrices(tris)
+    center = None if precision == "highest" else _scene_center(tris)
+    g = _triangle_matrices(tris, center)
     if t_pad > t_total:
         g = jnp.pad(g, ((0, 0), (0, t_pad - t_total), (0, 0)))
-    f = _ray_features(o, d, r_pad)
+    f = _ray_features(o, d, r_pad, center)
+    # f32 (d, o) rows for the culled kernel's slab test, independent of the
+    # (possibly bf16-limb-expanded) contraction operands
+    od = jnp.concatenate([f[0:3], f[6:9], jnp.zeros((2, r_pad), jnp.float32)])
+    if precision == "exact1":
+        g = _expand_g_exact1(g)
+        f = _expand_f_exact1(f)
+    nfeat = f.shape[0]
 
     grid = (r_pad // block_rays, t_pad // block_tris)
-    g_spec = pl.BlockSpec((4, block_tris, _NFEAT), lambda i, j: (0, j, 0),
+    g_spec = pl.BlockSpec((4, block_tris, nfeat), lambda i, j: (0, j, 0),
                           memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((_NFEAT, block_rays), lambda i, j: (0, i),
+    f_spec = pl.BlockSpec((nfeat, block_rays), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
+    od_spec = pl.BlockSpec((8, block_rays), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, block_rays), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
     out_specs = [row_spec, row_spec]
@@ -268,7 +363,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
                  jax.ShapeDtypeStruct((1, r_pad), jnp.int32)]
 
     if cull:
-        aabbs = _tile_aabbs(tris, t_pad, block_tris)
+        aabbs = _tile_aabbs(tris, t_pad, block_tris, center)
         lim = jnp.full((1, r_pad), np.float32(T_MAX), jnp.float32)
         if has_t_max:
             tm = jnp.broadcast_to(
@@ -276,20 +371,19 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
                 (R,))
             lim = lim.at[0, :R].set(tm)
         kern = functools.partial(_kernel_culled, block_tris=block_tris,
-                                 precision=_PRECISIONS[precision],
-                                 has_limit=has_t_max)
+                                 precision=precision, has_limit=has_t_max)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # aabbs (small, whole)
-                g_spec, f_spec, row_spec,
+                g_spec, f_spec, od_spec, row_spec,
             ],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(aabbs, g, f, lim)
+        )(aabbs, g, f, od, lim)
     else:
         kern = functools.partial(_kernel, block_tris=block_tris,
-                                 precision=_PRECISIONS[precision])
+                                 precision=precision)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[g_spec, f_spec],
@@ -314,9 +408,10 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
 
-    ``precision``: MXU contraction precision — "high" (bf16x3, ~f32-faithful,
-    2x faster; decisions may flip at f32 edge cases) or "highest" (exact
-    f32).  ``t_max`` (scalar or f32[R]) restricts the query to hits with
+    ``precision``: MXU contraction precision — "highest" (exact f32),
+    "bf16x2" (exact product of two-limb-rounded, scene-centered operands;
+    ~1.5x) or "high" (bf16x3; fastest, decisions may flip at f32 edge
+    cases).  ``t_max`` (scalar or f32[R]) restricts the query to hits with
     ``t <= t_max`` — range-limited occlusion queries.  ``cull`` enables
     per-tile AABB skipping (default: on when the scene spans multiple
     triangle tiles).

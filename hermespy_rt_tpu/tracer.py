@@ -196,10 +196,12 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     if cfg.backend in ("pallas", "auto"):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
+            # compaction relies on the culled kernel's reach test to skip
+            # dead-ray tiles, so it implies cull
             return make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                          block_tris=cfg.block_tris,
                                          precision=cfg.precision,
-                                         cull=cfg.cull)
+                                         cull=cfg.cull or cfg.compact_rays)
         except Exception:
             if cfg.backend == "pallas":
                 raise
@@ -306,8 +308,25 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq = carry
     nrx = rx_pos.shape[0]
 
+    # --- active-ray compaction (exact; order restored after each query) ---
+    # Dead rays are permuted to a contiguous suffix and given t_max = -1, so
+    # the culled kernel's reach test skips whole dead tiles; only the
+    # intersection queries see the permuted order.
+    perm = pos = None
+    if cfg.compact_rays:
+        act_i = act.astype(jnp.int32)
+        pos = jnp.where(act, jnp.cumsum(act_i) - 1,
+                        jnp.sum(act_i) + jnp.cumsum(1 - act_i) - 1)
+        perm = jnp.zeros_like(pos).at[pos].set(
+            jnp.arange(pos.shape[0], dtype=pos.dtype))
+
     # --- nearest hit (non-differentiable decision) ---
-    _, idx = access.intersect(o, d)
+    if cfg.compact_rays:
+        hint = jnp.where(act[perm], jnp.float32(1e9), jnp.float32(-1.0))
+        _, idx_p = access.intersect(o[perm], d[perm], t_max=hint)
+        idx = idx_p[pos]
+    else:
+        _, idx = access.intersect(o, d)
     idx = jax.lax.stop_gradient(idx)
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
@@ -362,17 +381,42 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     ds = ds_un / jnp.where(d2rx > 0, d2rx, 1.0)[..., None]
 
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    if cfg.compact_rays:
+        # second partition keyed on post-hit liveness (rays that just missed
+        # the scene need no shadow query either)
+        live_i = live.astype(jnp.int32)
+        pos2 = jnp.where(live, jnp.cumsum(live_i) - 1,
+                         jnp.sum(live_i) + jnp.cumsum(1 - live_i) - 1)
+        perm2 = jnp.zeros_like(pos2).at[pos2].set(
+            jnp.arange(pos2.shape[0], dtype=pos2.dtype))
+        so_q, ds_q = so[:, perm2], ds[:, perm2]
+        live_q = jnp.broadcast_to(live[perm2][None], d2rx.shape)
+        unperm = lambda x: x.reshape(nrx, -1)[:, pos2].reshape(-1)
+    else:
+        so_q, ds_q, live_q, unperm = so, ds, None, lambda x: x
     if cfg.parity == "reference":
         # Reference quirk kept for parity: with a *normalised* direction the
         # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
         # count (/root/reference/src/compute_paths.c:678-683).
-        t_o, idx_o = access.intersect(flat(so), flat(ds))
+        if cfg.compact_rays:
+            hint = jnp.where(flat(live_q), jnp.float32(1e9), jnp.float32(-1.0))
+            t_o, idx_o = access.intersect(flat(so_q), flat(ds_q), t_max=hint)
+        else:
+            t_o, idx_o = access.intersect(flat(so_q), flat(ds_q))
+        t_o, idx_o = unperm(t_o), unperm(idx_o)
         blocked = (idx_o >= 0) & (t_o <= 1.0)
     else:
         eps_o = jnp.float32(cfg.occlusion_offset)
+        if cfg.compact_rays:
+            d2rx_q = d2rx[:, perm2]
+            limit_q = jnp.where(flat(live_q),
+                                flat(d2rx_q) - 2.0 * eps_o, jnp.float32(-1.0))
+        else:
+            limit_q = flat(d2rx) - 2.0 * eps_o
+        t_o, idx_o = access.intersect(flat(so_q) + eps_o * flat(ds_q),
+                                      flat(ds_q), t_max=limit_q)
+        t_o, idx_o = unperm(t_o), unperm(idx_o)
         limit = flat(d2rx) - 2.0 * eps_o
-        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds), flat(ds),
-                                      t_max=limit)
         blocked = (idx_o >= 0) & (t_o <= limit)
     blocked = blocked.reshape(nrx, -1)
 

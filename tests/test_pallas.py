@@ -173,3 +173,89 @@ def test_tracer_pallas_gradients_finite():
     g = jax.grad(loss)(default_materials())
     assert np.isfinite(np.asarray(g.a)).all()
     assert abs(float(np.asarray(g.a)[1])) > 0
+
+def test_exact1_matches_highest(rng):
+    """The one-pass K-limb-expanded mode must reproduce exact-f32 decisions
+    (up to genuine near-tie edges) and f32-grade distances."""
+    from hermespy_rt_tpu.ops.intersect_pallas import pallas_intersect
+    soa = flatten_scene(random_soup_scene(700, seed=23, extent=90.0,
+                                          tri_size=8.0), pad_to=128)
+    R = 4096
+    o = rng.uniform(-80, 80, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0, i0 = map(np.asarray,
+                 pallas_intersect(o, d, soa, interpret=True,
+                                  precision="highest"))
+    t1, i1 = map(np.asarray,
+                 pallas_intersect(o, d, soa, interpret=True,
+                                  precision="exact1"))
+    # no hit<->miss transitions, >=99.9% identical triangles
+    assert np.array_equal(np.isfinite(t0), np.isfinite(t1))
+    same = i0 == i1
+    assert same.mean() >= 0.999
+    m = same & (i0 >= 0)
+    # relative to local scale, with an absolute floor ~2^-24 * scene extent
+    # for near-zero t
+    np.testing.assert_allclose(t1[m], t0[m], rtol=3e-4, atol=1e-4)
+
+
+def test_exact1_culled_and_range(rng):
+    from hermespy_rt_tpu.ops.intersect_pallas import pallas_intersect
+    soa = flatten_scene(random_soup_scene(700, seed=29), pad_to=128)
+    R = 512
+    o = rng.uniform(-60, 60, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0, i0 = pallas_intersect(o, d, soa, interpret=True, precision="exact1",
+                              cull=False, block_tris=128)
+    t1, i1 = pallas_intersect(o, d, soa, interpret=True, precision="exact1",
+                              cull=True, block_tris=128)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    tm = jnp.full((R,), 15.0, jnp.float32)
+    t2, i2 = pallas_intersect(o, d, soa, interpret=True, precision="exact1",
+                              cull=True, block_tris=128, t_max=tm)
+    want = np.asarray(i0 >= 0) & (np.asarray(t0) <= 15.0)
+    assert np.array_equal(np.asarray(i2) >= 0, want)
+
+
+def test_split3_bf16_exact():
+    """Three bf16 limbs must reconstruct any f32 exactly."""
+    from hermespy_rt_tpu.ops.intersect_pallas import _split3_bf16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.concatenate([rng.normal(size=1000) * 10.0 ** rng.integers(-20, 20, 1000),
+                        np.array([0.0, -0.0, 1.0, -1.0, 3.14159265e-30])])
+        .astype(np.float32))
+    h1, h2, h3 = _split3_bf16(x)
+    recon = (h1.astype(jnp.float32) + h2.astype(jnp.float32)
+             + h3.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(x))
+
+
+def test_compact_rays_bit_exact():
+    """compact_rays is a pure reordering: outputs must be bit-identical."""
+    import hermespy_rt_tpu as hrt
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.tracer import trace_paths
+    tris = flatten_scene(box_scene())
+    mats = default_materials()
+    rx = np.array([[0.5, 0.2, 1.0], [-1.0, 2.0, 0.5]], np.float32)
+    tx = np.array([[0.0, 0.0, 1.5]], np.float32)
+    z2 = np.zeros((2, 3), np.float32)
+    z1 = np.zeros((1, 3), np.float32)
+    for parity in ("reference", "physical"):
+        cfg0 = TracerConfig(num_paths=512, num_bounces=3, parity=parity,
+                            backend="pallas", keep_rays=False)
+        cfg1 = TracerConfig(num_paths=512, num_bounces=3, parity=parity,
+                            backend="pallas", keep_rays=False,
+                            compact_rays=True)
+        r0 = trace_paths(tris, mats, rx, tx, z2, z1, 3.0, cfg0)
+        r1 = trace_paths(tris, mats, rx, tx, z2, z1, 3.0, cfg1)
+        for f in ("a_te", "a_tm", "tau", "freq_shift", "directions_rx"):
+            a = np.asarray(getattr(r0.scatter, f))
+            b = np.asarray(getattr(r1.scatter, f))
+            np.testing.assert_array_equal(a, b, err_msg=f"{parity}/{f}")
