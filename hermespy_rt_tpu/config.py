@@ -63,18 +63,27 @@ class TracerConfig:
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
-    # Active-ray compaction: before each intersection query, permute rays so
-    # the active ones form a contiguous tile prefix and hand the kernel a
-    # t_max of -1 for dead rays — whole dead ray-tiles are then skipped by
-    # the culled kernel's reach test.  Exact (results are un-permuted);
-    # pays from bounce 1 on, where activity drops to ~46%/~24% on the canyon
-    # scene.  Implies the culled kernel for in-bounce queries.
+    # Dead-ray skipping: hand the kernel t_max = -1 for inactive rays so the
+    # culled kernel's reach test skips whole ray tiles that are entirely
+    # dead.  Exact (a forced miss for a dead ray is semantically identical
+    # to ignoring its result) and overhead-free; rays die in contiguous
+    # Fibonacci index bands, so no reordering is needed.  Pays from bounce 1
+    # on, where activity drops to ~46%/~24% on the canyon scene.  Implies
+    # the culled kernel for in-bounce queries.
     compact_rays: bool = False
     # Occlusion with penetration loss (physical mode only): LoS paths and
     # scatter shadow rays blocked by an obstacle are attenuated by the
     # obstacle's ITU transmission coefficients (eqs. 31c/31d — the extension
     # the reference left as TODO) instead of zeroed.  Nearest blocker only.
     transmission: bool = False
+    # Transmission-path spawning (physical mode only): rays are partitioned
+    # over all 2**num_bounces reflect/transmit interaction sequences (static
+    # shapes, no dynamic tree growth); a "transmit" interaction continues
+    # straight through the surface with the eq. 31c/31d coefficients.  This
+    # realises refracted *continuation* paths, e.g. TX -> through wall ->
+    # reflect -> RX.  Costs sampling density: each pure-reflection pattern
+    # keeps num_paths / 2**num_bounces rays.
+    spawn_transmission: bool = False
 
     def __post_init__(self):
         if self.parity not in ("reference", "physical"):
@@ -91,3 +100,7 @@ class TracerConfig:
         if self.transmission and self.parity != "physical":
             raise ValueError("transmission=True requires parity='physical' "
                              "(the reference semantics zero blocked paths)")
+        if self.spawn_transmission and self.parity != "physical":
+            raise ValueError("spawn_transmission=True requires "
+                             "parity='physical' (the reference has no "
+                             "refraction branch to be parity-faithful to)")

@@ -70,22 +70,34 @@ def _nearest(t, valid, base_idx: int = 0):
 
 @partial(jax.jit, static_argnames=("chunk_size",))
 def intersect_jnp(o: jax.Array, d: jax.Array, tris: TriangleSoA,
-                  chunk_size: int = 4096) -> Tuple[jax.Array, jax.Array]:
+                  chunk_size: int = 4096,
+                  exclude=None) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit for rays ``(o, d)`` f32[R,3] against all scene triangles.
 
     Returns ``(t, idx)``: ``t`` f32[R] (parametric distance in units of |d|,
     +inf on miss) and ``idx`` i32[R] (global triangle index, -1 on miss).
+    ``exclude`` (i32[R], optional) suppresses one triangle per ray — the one
+    the ray provably originates on (self-hit exclusion); -1 excludes none.
     """
     R = o.shape[0]
     v0, e1, e2 = tris.v0, tris.e1, tris.e2
+    if exclude is not None:
+        exclude = jax.lax.stop_gradient(jnp.asarray(exclude, jnp.int32))
+    tri_ids = jnp.arange(v0.shape[0], dtype=jnp.int32)
 
     def one_chunk(args):
-        oc, dc = args
+        if exclude is None:
+            oc, dc = args
+            exc = None
+        else:
+            oc, dc, exc = args
         t, valid = _mt_block(oc, dc, v0, e1, e2)
+        if exc is not None:
+            valid = valid & (tri_ids[None, :] != exc[:, None])
         return _nearest(t, valid)
 
     if R <= chunk_size:
-        return one_chunk((o, d))
+        return one_chunk((o, d) if exclude is None else (o, d, exclude))
 
     # Pad to a chunk multiple, map chunks, then slice back.
     pad = (-R) % chunk_size
@@ -94,7 +106,13 @@ def intersect_jnp(o: jax.Array, d: jax.Array, tris: TriangleSoA,
     n_chunks = (R + pad) // chunk_size
     o_c = o_p.reshape(n_chunks, chunk_size, 3)
     d_c = d_p.reshape(n_chunks, chunk_size, 3)
-    t, idx = jax.lax.map(one_chunk, (o_c, d_c))
+    if exclude is None:
+        t, idx = jax.lax.map(one_chunk, (o_c, d_c))
+    else:
+        e_p = (jnp.concatenate([exclude, jnp.full((pad,), -1, jnp.int32)])
+               if pad else exclude)
+        e_c = e_p.reshape(n_chunks, chunk_size)
+        t, idx = jax.lax.map(one_chunk, (o_c, d_c, e_c))
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 

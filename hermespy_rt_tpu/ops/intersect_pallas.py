@@ -195,22 +195,26 @@ def _mt_terms_mxu(g_ref, f, precision):
             dot3x(g_ref[3]))
 
 
-def _tile_body(g_ref, f, t_ref, i_ref, j, block_tris, precision, t_lim):
+def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
+               t_lim):
     det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision)
     inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
     u = u_num * inv
     v = v_num * inv
     t = t_num * inv
+    rows = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
     valid = ((jnp.abs(det) >= FLT_EPS)
              & (u >= -FLT_EPS) & (u <= 1.0 + FLT_EPS)
              & (v >= -FLT_EPS) & (u + v <= 1.0 + FLT_EPS)
-             & (t > FLT_EPS) & (t < T_MAX))
+             & (t > FLT_EPS) & (t < T_MAX)
+             # per-ray excluded triangle (self-hit suppression: the caller
+             # knows the ray originates ON this triangle)
+             & (rows != excl - j * block_tris))
     if t_lim is not None:
         valid = valid & (t <= t_lim)
     t_m = jnp.where(valid, t, _BIG)
 
     tile_min = jnp.min(t_m, axis=0, keepdims=True)             # [1, TILE_R]
-    rows = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
     tile_arg = jnp.min(
         jnp.where((t_m == tile_min) & valid, rows, jnp.int32(2**31 - 1)),
         axis=0, keepdims=True)                                 # first-min rows
@@ -222,7 +226,8 @@ def _tile_body(g_ref, f, t_ref, i_ref, j, block_tris, precision, t_lim):
     i_ref[...] = jnp.where(improve, tile_idx, i_ref[...])
 
 
-def _kernel(g_ref, f_ref, t_ref, i_ref, *, block_tris: int, precision):
+def _kernel(g_ref, f_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
+            precision):
     """One (ray-tile, tri-tile) step of the nearest-hit reduction."""
     j = pl.program_id(1)
 
@@ -231,12 +236,12 @@ def _kernel(g_ref, f_ref, t_ref, i_ref, *, block_tris: int, precision):
         t_ref[...] = jnp.full_like(t_ref, _BIG)
         i_ref[...] = jnp.full_like(i_ref, -1)
 
-    _tile_body(g_ref, f_ref[...], t_ref, i_ref, j, block_tris, precision,
-               None)
+    _tile_body(g_ref, f_ref[...], ex_ref[...], t_ref, i_ref, j, block_tris,
+               precision, None)
 
 
-def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, lim_ref, t_ref, i_ref, *,
-                   block_tris: int, precision, has_limit: bool):
+def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
+                   i_ref, *, block_tris: int, precision, has_limit: bool):
     """Nearest-hit step with per-(ray-tile, tri-tile) AABB culling.
 
     ``aabb_ref`` holds one axis-aligned bounding box per triangle tile
@@ -269,11 +274,16 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, lim_ref, t_ref, i_ref, *,
     else:
         t_lim = None
         limit = t_ref[...]
-    reach = (t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
+    # limit < 0 marks rays whose query is void (dead rays under compaction:
+    # t_max = -1); without the explicit limit >= 0 term a stale origin
+    # inside the scene AABB (t_near very negative) would still "reach".
+    reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
+             & (limit >= 0.0))
 
     @pl.when(jnp.any(reach))
     def _eval():
-        _tile_body(g_ref, f, t_ref, i_ref, j, block_tris, precision, t_lim)
+        _tile_body(g_ref, f, ex_ref[...], t_ref, i_ref, j, block_tris,
+                   precision, t_lim)
 
 
 _PRECISIONS = ("highest", "exact1", "bf16x2", "high")
@@ -328,8 +338,9 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
 @functools.partial(jax.jit,
                    static_argnames=("block_rays", "block_tris", "interpret",
                                     "precision", "cull", "has_t_max"))
-def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
-                           interpret, precision, cull, has_t_max):
+def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
+                           block_tris, interpret, precision, cull,
+                           has_t_max):
     R = o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -344,6 +355,10 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
     # f32 (d, o) rows for the culled kernel's slab test, independent of the
     # (possibly bf16-limb-expanded) contraction operands
     od = jnp.concatenate([f[0:3], f[6:9], jnp.zeros((2, r_pad), jnp.float32)])
+    ex = jnp.full((1, r_pad), -1, jnp.int32)
+    if exclude is not None:
+        ex = ex.at[0, :R].set(
+            jax.lax.stop_gradient(jnp.asarray(exclude, jnp.int32)))
     if precision == "exact1":
         g = _expand_g_exact1(g)
         f = _expand_f_exact1(f)
@@ -355,6 +370,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
     f_spec = pl.BlockSpec((nfeat, block_rays), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
     od_spec = pl.BlockSpec((8, block_rays), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM)
+    ex_spec = pl.BlockSpec((1, block_rays), lambda i, j: (0, i),
                            memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, block_rays), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
@@ -376,20 +393,20 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
             kern, grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # aabbs (small, whole)
-                g_spec, f_spec, od_spec, row_spec,
+                g_spec, f_spec, od_spec, ex_spec, row_spec,
             ],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(aabbs, g, f, od, lim)
+        )(aabbs, g, f, od, ex, lim)
     else:
         kern = functools.partial(_kernel, block_tris=block_tris,
                                  precision=precision)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[g_spec, f_spec],
+            in_specs=[g_spec, f_spec, ex_spec],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(g, f)
+        )(g, f, ex)
         if has_t_max:
             tm = jnp.broadcast_to(
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (R,))
@@ -402,8 +419,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, block_rays, block_tris,
 def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      block_rays: int = 1024, block_tris: int = 256,
                      interpret: bool = False, precision: str = "highest",
-                     t_max=None, cull: Optional[bool] = None
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     t_max=None, cull: Optional[bool] = None,
+                     exclude=None) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -424,7 +441,7 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
     return _pallas_intersect_impl(
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
-        block_rays, block_tris, interpret, precision, bool(cull),
+        exclude, block_rays, block_tris, interpret, precision, bool(cull),
         t_max is not None)
 
 
@@ -441,9 +458,10 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def intersect_fn(o, d, t_max=None):
+    def intersect_fn(o, d, t_max=None, exclude=None):
         return pallas_intersect(o, d, tris, block_rays=block_rays,
                                 block_tris=block_tris, interpret=interpret,
-                                precision=precision, t_max=t_max, cull=cull)
+                                precision=precision, t_max=t_max, cull=cull,
+                                exclude=exclude)
 
     return intersect_fn

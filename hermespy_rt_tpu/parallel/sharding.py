@@ -89,12 +89,16 @@ class TriShardedSceneAccess:
         self.shard_size = tris_local.v0.shape[0]
         self.offset = jax.lax.axis_index(axis_name) * self.shard_size
 
-    def intersect(self, o, d, t_max=None):
+    def intersect(self, o, d, t_max=None, exclude=None):
         # decisions only — see LocalSceneAccess.intersect (also: pmin has no
         # differentiation rule, and must never need one here)
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        t_loc, i_loc = self.local.intersect(o, d, t_max)
+        if exclude is not None:
+            # global -> shard-local id; out-of-shard ids fall outside
+            # [0, shard_size) and match nothing
+            exclude = jnp.asarray(exclude, jnp.int32) - self.offset
+        t_loc, i_loc = self.local.intersect(o, d, t_max, exclude)
         i_glob = jnp.where(i_loc >= 0, i_loc + self.offset, _I32_MAX)
         t_min = jax.lax.pmin(t_loc, self.axis)
         cand = jnp.where((t_loc == t_min) & (i_loc >= 0), i_glob, _I32_MAX)
@@ -196,7 +200,10 @@ def trace_paths_sharded(tris: TriangleSoA,
                               rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop,
                               cfg)
 
-    carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop)
+    from ..tracer import transmit_patterns
+    pattern = (transmit_patterns(R, B) if cfg.spawn_transmission else None)
+    carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop,
+                          transmit_pattern=pattern)
     o0, d0 = carry0[0], carry0[1]
 
     ray_spec = lambda x: P(*(("rays",) + (None,) * (x.ndim - 1)))

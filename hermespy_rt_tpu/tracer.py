@@ -137,12 +137,14 @@ class LocalSceneAccess:
                 [tris.v0, tris.e1, tris.e2, tris.normal, tris.velocity,
                  eta_cols], axis=-1)                            # [T, 27]
 
-    def intersect(self, o, d, t_max=None):
+    def intersect(self, o, d, t_max=None, exclude=None):
         """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
 
         ``t_max`` restricts the query to hits with ``t <= t_max`` (a
         performance hint for range-limited occlusion tests; hits beyond it
-        report as misses).
+        report as misses).  ``exclude`` (i32[R]) suppresses one triangle per
+        ray — the one the ray provably originates on, so the kernel never
+        evaluates epsilon-scale self-hit geometry (-1 = none).
 
         Hit decisions are non-differentiable by design (piecewise constant):
         gradients are cut here, which also spares the O(rays x triangles)
@@ -151,7 +153,7 @@ class LocalSceneAccess:
         """
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        return self._intersect(o, d, t_max)
+        return self._intersect(o, d, t_max, exclude)
 
     def _rows(self, idx_safe):
         """Table rows for clamped indices, any leading shape -> [..., 27]."""
@@ -183,8 +185,9 @@ class LocalSceneAccess:
 
 
 def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
-    def jnp_fn(o, d, t_max=None):
-        t, idx = intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk)
+    def jnp_fn(o, d, t_max=None, exclude=None):
+        t, idx = intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk,
+                               exclude=exclude)
         if t_max is not None:
             within = t <= jax.lax.stop_gradient(jnp.asarray(t_max, t.dtype))
             t = jnp.where(within, t, jnp.inf)
@@ -305,28 +308,31 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     """One bounce: reflect every active ray off its nearest triangle, then
     scatter a shadow ray from the hit point to every RX
     (/root/reference/src/compute_paths.c:591-745)."""
-    o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq = carry
+    (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
+     pidx) = carry
     nrx = rx_pos.shape[0]
-
-    # --- active-ray compaction (exact; order restored after each query) ---
-    # Dead rays are permuted to a contiguous suffix and given t_max = -1, so
-    # the culled kernel's reach test skips whole dead tiles; only the
-    # intersection queries see the permuted order.
-    perm = pos = None
-    if cfg.compact_rays:
-        act_i = act.astype(jnp.int32)
-        pos = jnp.where(act, jnp.cumsum(act_i) - 1,
-                        jnp.sum(act_i) + jnp.cumsum(1 - act_i) - 1)
-        perm = jnp.zeros_like(pos).at[pos].set(
-            jnp.arange(pos.shape[0], dtype=pos.dtype))
+    # transmission spawning: bit 0 of the per-ray pattern selects "pass
+    # straight through with the ITU transmission coefficients" for THIS
+    # bounce; the pattern is consumed one bit per bounce.
+    transmit = ((pat & 1) != 0) if cfg.spawn_transmission else None
 
     # --- nearest hit (non-differentiable decision) ---
+    # Dead-ray skipping (cfg.compact_rays): dead rays get t_max = -1, which
+    # the culled kernel's reach test turns into whole-tile skips wherever a
+    # ray tile is entirely dead.  No reordering is needed: rays die in
+    # contiguous index bands (the Fibonacci launch index is sequential in
+    # polar angle, so scene-missing directions cluster), and a forced miss
+    # for a dead ray is semantically identical to ignoring its result.
+    # The triangle this ray originates on (its previous hit) is excluded
+    # in-kernel: a reflected or straight-transmitted ray, offset off its
+    # plane, provably cannot re-cross that plane, so any kernel self-hit is
+    # pure rounding noise.  This removes all epsilon-scale geometry from the
+    # query regardless of kernel precision mode.
     if cfg.compact_rays:
-        hint = jnp.where(act[perm], jnp.float32(1e9), jnp.float32(-1.0))
-        _, idx_p = access.intersect(o[perm], d[perm], t_max=hint)
-        idx = idx_p[pos]
+        hint = jnp.where(act, jnp.float32(1e9), jnp.float32(-1.0))
+        _, idx = access.intersect(o, d, t_max=hint, exclude=pidx)
     else:
-        _, idx = access.intersect(o, d)
+        _, idx = access.intersect(o, d, exclude=pidx)
     idx = jax.lax.stop_gradient(idx)
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
@@ -347,6 +353,15 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
 
     # --- Fresnel reflection + per-segment free-space loss ---
     r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, cos_t1, sin_t1)
+    if cfg.spawn_transmission:
+        # transmitting rays pick up the eq. 31c/31d coefficients instead
+        from .ops.fresnel import trans_coefs
+        x_te_re, x_te_im, x_tm_re, x_tm_im = trans_coefs(mat_rows, cos_t1,
+                                                         sin_t1)
+        r_te_re = jnp.where(transmit, x_te_re, r_te_re)
+        r_te_im = jnp.where(transmit, x_te_im, r_te_im)
+        r_tm_re = jnp.where(transmit, x_tm_re, r_tm_re)
+        r_tm_im = jnp.where(transmit, x_tm_im, r_tm_im)
     fsl2 = (fslm * t) ** 2
     fscale = jnp.where(fsl2 > 1.0, 1.0 / jnp.where(fsl2 > 1.0, fsl2, 1.0), 1.0)
     r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
@@ -365,11 +380,17 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     # --- specular ray update with self-hit offset (compute_paths.c:648-659) ---
     hitp = o + t[:, None] * d
     d_ref = reflect3(d, n)
+    if cfg.spawn_transmission:
+        # transmitted continuation: direction unchanged (ITU slab model —
+        # in/out refraction cancels for a thin wall), origin offset past the
+        # surface along the unchanged direction
+        d_ref = jnp.where(transmit[:, None], d, d_ref)
     o_ref = hitp + jnp.float32(1e-4) * d_ref
     o = jnp.where(live[:, None], o_ref, o)
     d_new = jnp.where(live[:, None], d_ref, d)
 
     # --- reflection Doppler from mesh velocity (compute_paths.c:661-664) ---
+    # (zero for transmitted continuations: d_ref == d)
     vel = hit["velocity"]
     freq = freq + jnp.where(live, dot3(d_ref - d, vel) * k_dop, 0.0)
     d = d_new
@@ -381,48 +402,70 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     ds = ds_un / jnp.where(d2rx > 0, d2rx, 1.0)[..., None]
 
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
-    if cfg.compact_rays:
-        # second partition keyed on post-hit liveness (rays that just missed
-        # the scene need no shadow query either)
-        live_i = live.astype(jnp.int32)
-        pos2 = jnp.where(live, jnp.cumsum(live_i) - 1,
-                         jnp.sum(live_i) + jnp.cumsum(1 - live_i) - 1)
-        perm2 = jnp.zeros_like(pos2).at[pos2].set(
-            jnp.arange(pos2.shape[0], dtype=pos2.dtype))
-        so_q, ds_q = so[:, perm2], ds[:, perm2]
-        live_q = jnp.broadcast_to(live[perm2][None], d2rx.shape)
-        unperm = lambda x: x.reshape(nrx, -1)[:, pos2].reshape(-1)
-    else:
-        so_q, ds_q, live_q, unperm = so, ds, None, lambda x: x
+    live_b = jnp.broadcast_to(live[None], d2rx.shape)   # post-hit liveness
+    ds_dot_n = dot3(ds, n[None])                        # [NRx, R]
+
+    # The shadow ray's own triangle is excluded from the kernel query too;
+    # whether it crosses its own plane (RX on the far side) is decided
+    # analytically instead, in exact local arithmetic: the origin sits at
+    # signed offset 1e-4*(d_int.n) off the plane, so it crosses at
+    # t0 = -1e-4*(d_int.n)/(ds.n).  This is the reference's own nearest
+    # blocker whenever it exists (~1e-4 away beats everything else).
+    dint_n = dot3(d, n)                                 # post-interaction
+    t_self = -jnp.float32(1e-4) * dint_n[None, :] / jnp.where(
+        ds_dot_n == 0.0, 1.0, ds_dot_n)
+    crossing = (ds_dot_n * dint_n[None, :] < 0.0) & live_b
+    excl = flat(jnp.broadcast_to(jnp.where(live, idx, -1)[None],
+                                 live_b.shape))
     if cfg.parity == "reference":
         # Reference quirk kept for parity: with a *normalised* direction the
         # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
         # count (/root/reference/src/compute_paths.c:678-683).
         if cfg.compact_rays:
-            hint = jnp.where(flat(live_q), jnp.float32(1e9), jnp.float32(-1.0))
-            t_o, idx_o = access.intersect(flat(so_q), flat(ds_q), t_max=hint)
+            hint = jnp.where(flat(live_b), jnp.float32(1e9),
+                             jnp.float32(-1.0))
+            t_o, idx_o = access.intersect(flat(so), flat(ds), t_max=hint,
+                                          exclude=excl)
         else:
-            t_o, idx_o = access.intersect(flat(so_q), flat(ds_q))
-        t_o, idx_o = unperm(t_o), unperm(idx_o)
+            t_o, idx_o = access.intersect(flat(so), flat(ds), exclude=excl)
+        self_hit = flat(crossing & (t_self > jnp.float32(FLT_EPS)))
+        closer = self_hit & (flat(t_self) < t_o)
+        t_o = jnp.where(closer, flat(t_self), t_o)
+        idx_o = jnp.where(closer, excl, idx_o)
         blocked = (idx_o >= 0) & (t_o <= 1.0)
     else:
         eps_o = jnp.float32(cfg.occlusion_offset)
-        if cfg.compact_rays:
-            d2rx_q = d2rx[:, perm2]
-            limit_q = jnp.where(flat(live_q),
-                                flat(d2rx_q) - 2.0 * eps_o, jnp.float32(-1.0))
-        else:
-            limit_q = flat(d2rx) - 2.0 * eps_o
-        t_o, idx_o = access.intersect(flat(so_q) + eps_o * flat(ds_q),
-                                      flat(ds_q), t_max=limit_q)
-        t_o, idx_o = unperm(t_o), unperm(idx_o)
         limit = flat(d2rx) - 2.0 * eps_o
+        limit_q = (jnp.where(flat(live_b), limit, jnp.float32(-1.0))
+                   if cfg.compact_rays else limit)
+        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds),
+                                      flat(ds), t_max=limit_q, exclude=excl)
+        # in query coordinates the origin is a further eps_o along ds
+        t_self_q = flat(t_self) - eps_o
+        self_hit = (flat(crossing) & (t_self_q > jnp.float32(FLT_EPS))
+                    & (t_self_q <= limit))
+        closer = self_hit & (t_self_q < t_o)
+        t_o = jnp.where(closer, t_self_q, t_o)
+        idx_o = jnp.where(closer, excl, idx_o)
         blocked = (idx_o >= 0) & (t_o <= limit)
     blocked = blocked.reshape(nrx, -1)
 
-    ds_dot_n = dot3(ds, n[None])
     cos_ts = jnp.clip(ds_dot_n, -_CLIP, _CLIP)
     theta_s = fast_acos(cos_ts)                               # no fold (c:694)
+
+    # Hemisphere consistency (physical mode only): a reflection interaction
+    # re-radiates into the incidence-side hemisphere, a transmission
+    # interaction into the exit-side one.  The reference gets the same
+    # outcome implicitly — its shadow ray starts ~1e-4 off the surface and
+    # the surface itself blocks back-face scatter within the 1-metre window
+    # — but the physical mode's occlusion offset (which exists to avoid
+    # self-hits) would hop the shadow ray across its own surface.
+    hemi = None
+    if cfg.parity != "reference":
+        hemi = ds_dot_n * ndot[None] < 0.0
+        if cfg.spawn_transmission:
+            hemi = jnp.where(transmit[None],
+                             ds_dot_n * ndot[None] > 0.0, hemi)
 
     if cfg.parity == "reference":
         # Deep reference quirk: the shadow-ray moeller_trumbore call writes
@@ -485,6 +528,8 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         write = jnp.broadcast_to(live[None], blocked.shape)
     else:
         write = live[None] & ~blocked
+    if hemi is not None:
+        write = write & hemi
     wf = write.astype(jnp.float32) * sscale
 
     out_te_re, out_te_im = out_te_re * wf, out_te_im * wf
@@ -498,15 +543,25 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     out_freq = freq[None] - jnp.where(live[None], scat_dop, 0.0)
     out_dir_rx = jnp.where(write[..., None], -ds, 0.0)
 
-    carry = (o, d, ate_re, ate_im, atm_re, atm_im, tau, live, freq)
+    carry = (o, d, ate_re, ate_im, atm_re, atm_im, tau, live, freq,
+             pat >> 1, jnp.where(live, idx, -1))
     ys = (out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau, out_freq,
           out_dir_rx, o, d, live)
     return carry, ys
 
 
-def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None):
+def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None,
+                 transmit_pattern=None):
     """Initial per-ray state over the flattened tx-major ray axis
-    (/root/reference/src/compute_paths.c:442-508)."""
+    (/root/reference/src/compute_paths.c:442-508).
+
+    ``transmit_pattern`` (i32[R], optional) is the per-ray interaction
+    bit-pattern for transmission-path spawning: bit ``b`` set means the ray
+    passes straight through the surface it hits at bounce ``b`` (with the
+    ITU eq. 31c/31d transmission coefficients) instead of reflecting.  The
+    pattern rides in the carry and is right-shifted once per bounce, so it
+    shards with the ray axis and needs no bounce counter.
+    """
     ntx = tx_pos.shape[0]
     P = launch_dirs.shape[0]
     d0 = jnp.tile(launch_dirs, (ntx, 1))                       # [R, 3]
@@ -517,7 +572,22 @@ def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None):
     zeros = jnp.zeros((R,), jnp.float32)
     freq0 = dot3(txv0, d0) * k_dop
     act = jnp.ones((R,), bool) if active0 is None else active0
-    return (o0, d0, ones, zeros, ones, zeros, zeros, act, freq0)
+    pat = (jnp.zeros((R,), jnp.int32) if transmit_pattern is None
+           else jnp.asarray(transmit_pattern, jnp.int32))
+    pidx0 = jnp.full((R,), -1, jnp.int32)   # no originating triangle yet
+    return (o0, d0, ones, zeros, ones, zeros, zeros, act, freq0, pat, pidx0)
+
+
+def transmit_patterns(num_rays: int, num_bounces: int) -> jax.Array:
+    """Uniform interaction-pattern assignment for transmission spawning:
+    ray ``i`` follows bit pattern ``i mod 2**B`` (bit b = transmit at bounce
+    b).  All 2**B reflect/transmit sequences of the interaction tree are
+    sampled with equal ray budget and static shapes — the TPU-native
+    realisation of the reference's unimplemented refraction branch
+    (/root/reference/src/compute_paths.c:725-728): no dynamic ray spawning,
+    the tree is covered by partitioning the launch set.  Interleaving by ray
+    index spreads every pattern uniformly over the Fibonacci sphere."""
+    return jnp.arange(num_rays, dtype=jnp.int32) % jnp.int32(2 ** num_bounces)
 
 
 def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
@@ -601,7 +671,10 @@ def trace_paths(tris: TriangleSoA,
     los, rays_los = _los_pass(access, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
                               k_dop, cfg)
 
-    carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop)
+    pattern = (transmit_patterns(ntx * P, B) if cfg.spawn_transmission
+               else None)
+    carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop,
+                          transmit_pattern=pattern)
     o0, d0 = carry0[0], carry0[1]
     ys = scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)
     scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,

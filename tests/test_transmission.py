@@ -96,3 +96,116 @@ def test_transmission_differentiable():
     ga = np.asarray(g.a)
     assert np.isfinite(ga).all()
     assert abs(ga[1]) > 0  # permittivity of the concrete wall matters
+
+
+# ---------------------------------------------------------------------------
+# Transmission-path SPAWNING (refracted continuation paths): rays partitioned
+# over reflect/transmit interaction patterns, cfg.spawn_transmission=True.
+# ---------------------------------------------------------------------------
+
+def test_spawn_requires_physical_mode():
+    with pytest.raises(ValueError):
+        hrt.TracerConfig(spawn_transmission=True)
+
+
+def test_spawn_pattern_zero_rays_unchanged():
+    """Rays assigned the pure-reflection pattern must be bit-identical to a
+    trace without spawning, and transmit rays must reach an RX behind the
+    wall that no reflection path can reach."""
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.scene import flatten_scene
+    from hermespy_rt_tpu.tracer import trace_paths
+
+    P = 128
+    tris = flatten_scene(_wall_scene(1))
+    mats = default_materials()
+    tx = jnp.asarray([[-3.0, 0.0, 0.0]], jnp.float32)
+    rx = jnp.asarray([[3.0, 4.0, 1.0]], jnp.float32)   # far side of the wall
+    z = jnp.zeros((1, 3), jnp.float32)
+    kw = dict(num_paths=P, num_bounces=1, parity="physical", backend="jnp",
+              keep_rays=False)
+    r0 = trace_paths(tris, mats, rx, tx, z, z, 3.0, TracerConfig(**kw))
+    r1 = trace_paths(tris, mats, rx, tx, z, z, 3.0,
+                     TracerConfig(spawn_transmission=True, **kw))
+    a0 = np.asarray(r0.scatter.a_te)[0, 0]          # [P]
+    a1 = np.asarray(r1.scatter.a_te)[0, 0]
+    even = np.arange(P) % 2 == 0                    # pattern 0 = reflect
+    np.testing.assert_array_equal(a1[even], a0[even])
+    # reflection-only tracing cannot reach a far-side RX at all (front-face
+    # scatter is self-occluded by the wall)
+    assert np.all(a0 == 0)
+    # transmitted rays scatter from the exit face and do reach it
+    odd = np.arange(P) % 2 == 1
+    assert np.count_nonzero(a1[odd]) > 10
+
+
+def test_spawn_refracted_continuation_geometry():
+    """TX -> through wall A -> interact with wall B -> RX.  The TR-pattern
+    ray must produce a bounce-2 path into the hemisphere between the walls,
+    the TT ray only into the far hemisphere, with the TT/TR magnitude ratio
+    equal to |T/R| of wall B (mirrored RX pair, zero-width scatter lobe so
+    the scattering factor magnitude cancels)."""
+    import dataclasses
+    import jax as J
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.ops.fresnel import (precompute_eta, refl_coefs,
+                                             trans_coefs)
+    from hermespy_rt_tpu.scene import HostMesh, HostScene, flatten_scene
+    from hermespy_rt_tpu.tracer import SPEED_OF_LIGHT, trace_paths
+
+    def wall_x(x, material):
+        vs = np.array([[x, -10, -10], [x, 10, -10], [x, 10, 10],
+                       [x, -10, 10]], np.float32)
+        idx = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        return HostMesh(vs, idx, material_index=material)
+
+    scene = HostScene([wall_x(1.0, 1), wall_x(3.0, 1)])  # concrete walls
+    tris = flatten_scene(scene)
+    mats = default_materials()
+    # zero-width scattering lobe: |scat coefs| independent of the scatter
+    # direction's hemisphere, so mirrored RX geometry cancels exactly
+    mats = dataclasses.replace(
+        mats, s1_alpha=jnp.zeros_like(mats.s1_alpha))
+    tx = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    # rx0 between the walls, rx1 its mirror behind wall B
+    rx = jnp.asarray([[2.0, 5.0, 0.0], [4.0, 5.0, 0.0]], jnp.float32)
+    z1 = jnp.zeros((1, 3), jnp.float32)
+    z2 = jnp.zeros((2, 3), jnp.float32)
+    # four identical +x rays; patterns i%4 = RR, TR, RT, TT over 2 bounces
+    dirs = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (4, 1)), jnp.float32)
+    cfg = TracerConfig(num_paths=4, num_bounces=2, parity="physical",
+                       backend="jnp", keep_rays=False,
+                       spawn_transmission=True)
+    res = trace_paths(tris, mats, rx, tx, z2, z1, 3.0, cfg, launch_dirs=dirs)
+    a = np.asarray(res.scatter.a_te)[:, 0]      # [2 rx, 2*4] bounce-major
+    tau = np.asarray(res.scatter.tau)[:, 0]
+    b2 = a[:, 4:]                               # bounce-2 slots, rays 0..3
+    # RR: reflected at A back to -x, nothing there -> no bounce-2 path
+    assert np.all(b2[:, 0] == 0.0)
+    # TR: through A, reflected at B(3,0,0): radiates between the walls only
+    assert abs(b2[0, 1]) > 0 and b2[1, 1] == 0.0
+    d_b_rx = np.sqrt(26.0)                      # |(3,0,0)-(2,5,0)|
+    np.testing.assert_allclose(tau[0, 4 + 1],
+                               (3.0 + d_b_rx) / SPEED_OF_LIGHT, rtol=1e-3)
+    # TT: transmits through B: radiates into the far hemisphere only
+    assert abs(b2[1, 3]) > 0 and b2[0, 3] == 0.0
+    # mirrored geometry + zero-width lobe -> |TT/TR| == |T_B/R_B| at normal
+    # incidence
+    eta_all = precompute_eta(mats, 3.0)
+    eta = J.tree.map(lambda leaf: jnp.asarray([leaf[1]]), eta_all)
+    c1 = jnp.asarray([1.0 - 1.1920929e-07])
+    s1 = jnp.sqrt(1.0 - c1 * c1)
+    rr = refl_coefs(eta, c1, s1)
+    tt = trans_coefs(eta, c1, s1)
+    R = complex(float(rr[0][0]), float(rr[1][0]))
+    T = complex(float(tt[0][0]), float(tt[1][0]))
+    np.testing.assert_allclose(abs(b2[1, 3] / b2[0, 1]), abs(T / R),
+                               rtol=1e-3)
+    # bounce-1 scatter of the TR ray comes from wall A's exit face: visible
+    # from rx0 (x=2 > 1), with the through-wall delay
+    assert abs(a[0, 1]) > 0
+    d_a_rx = np.sqrt(26.0 + 0.0)                # |(1,0,0)-(2,5,0)|
+    np.testing.assert_allclose(tau[0, 1], (1.0 + d_a_rx) / SPEED_OF_LIGHT,
+                               rtol=1e-3)
