@@ -45,11 +45,13 @@ def measure_tpu(num_paths=1 << 20, num_bounces=3, iters=8):
     from hermespy_rt_tpu.scene import flatten_scene
     from hermespy_rt_tpu.tracer import trace_paths
 
-    # scan (not unrolled) keeps the HLO small: compiles over the remote TPU
-    # tunnel take minutes for the unrolled 3-bounce grad graph.
+    # exact1 (one-pass MXU kernel) keeps the HLO small enough that the
+    # unrolled 3-bounce grad graph compiles in ~40 s over the remote tunnel
+    # (vs minutes for the 6-pass f32 graph); unrolled avoids the scan
+    # backward's forward re-computation (~1.7x at 1M rays).
     cfg = TracerConfig(num_paths=num_paths, num_bounces=num_bounces,
                        backend="auto", keep_rays=False,
-                       unroll_bounces=False)
+                       precision="exact1", unroll_bounces=True)
     tris = flatten_scene(_scene())
     mats = default_materials()
     dirs = jnp.asarray(fibonacci_sphere(num_paths))

@@ -43,6 +43,11 @@ class TracerConfig:
     block_rays: int = 1024
     block_tris: int = 256
     unroll_bounces: bool = True
+    # bounce-scan backward policy (unroll_bounces=False only): "save_all"
+    # stores per-bounce intermediates so the backward never re-runs the
+    # intersection kernels (fast, more HBM); "recompute" is the lean
+    # default-JAX behaviour for runs that would not fit otherwise.
+    scan_remat: str = "save_all"
     keep_rays: bool = True
     occlusion_offset: float = 1e-4
     # hit-payload fetch strategy: "onehot" = one-hot matmul against the fused
@@ -92,6 +97,9 @@ class TracerConfig:
             raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
         if self.num_paths <= 0 or self.num_bounces <= 0:
             raise ValueError("num_paths and num_bounces must be > 0")
+        if self.scan_remat not in ("save_all", "recompute"):
+            raise ValueError(f"scan_remat must be 'save_all' or 'recompute',"
+                             f" got {self.scan_remat!r}")
         if self.gather not in ("auto", "onehot", "take"):
             raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")
         if self.precision not in ("highest", "exact1", "bf16x2", "high"):

