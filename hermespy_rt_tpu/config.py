@@ -68,6 +68,16 @@ class TracerConfig:
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
+    # Visit-list walk kernel: a jnp prepass computes, per ray tile, the list
+    # of triangle tiles any of its rays can conservatively reach (slab test
+    # vs per-tile AABBs, honoring t_max), sorted near-to-far; the kernel
+    # walks exactly those tiles via scalar-prefetched BlockSpec indices with
+    # a running-best-t reach test, so distant tiles are neither DMA'd nor
+    # evaluated.  Bit-identical results (tie-breaks preserved under any
+    # visit order).  This is the hierarchical answer to the reference's
+    # ``TODO BVH`` (/root/reference/src/compute_paths.c:246).  Subsumes
+    # ``cull`` and honors ``compact_rays`` dead-ray hints.
+    walk: bool = False
     # Dead-ray skipping: hand the kernel t_max = -1 for inactive rays so the
     # culled kernel's reach test skips whole ray tiles that are entirely
     # dead.  Exact (a forced miss for a dead ray is semantically identical

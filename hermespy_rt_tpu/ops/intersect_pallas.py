@@ -286,6 +286,134 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
                    precision, t_lim)
 
 
+def _tile_body_walk(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
+                    t_lim):
+    """Tile evaluation for the out-of-order walk: like :func:`_tile_body` but
+    ``j`` is the *actual* (prefetched) tile id and the running-min update
+    breaks exact-t ties toward the lower triangle index, reproducing the
+    reference's first-strict-min file-order semantics
+    (/root/reference/src/compute_paths.c:275-284) under any visit order."""
+    det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision)
+    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+    rows = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
+    valid = ((jnp.abs(det) >= FLT_EPS)
+             & (u >= -FLT_EPS) & (u <= 1.0 + FLT_EPS)
+             & (v >= -FLT_EPS) & (u + v <= 1.0 + FLT_EPS)
+             & (t > FLT_EPS) & (t < T_MAX)
+             & (rows != excl - j * block_tris))
+    if t_lim is not None:
+        valid = valid & (t <= t_lim)
+    t_m = jnp.where(valid, t, _BIG)
+
+    tile_min = jnp.min(t_m, axis=0, keepdims=True)             # [1, TILE_R]
+    tile_arg = jnp.min(
+        jnp.where((t_m == tile_min) & valid, rows, jnp.int32(2**31 - 1)),
+        axis=0, keepdims=True)
+    hit = tile_min < _BIG
+    tile_idx = jnp.where(hit, tile_arg + j * block_tris, jnp.int32(2**31 - 1))
+
+    best_t = t_ref[...]
+    best_i = i_ref[...]
+    improve = (tile_min < best_t) | (hit & (tile_min == best_t)
+                                     & (tile_idx < best_i))
+    t_ref[...] = jnp.where(improve, tile_min, best_t)
+    i_ref[...] = jnp.where(improve, tile_idx, best_i)
+
+
+def _kernel_walk(visit_ref, count_ref, aabb_ref, g_ref, f_ref, od_ref,
+                 ex_ref, lim_ref, t_ref, i_ref, *, block_tris: int,
+                 precision, has_limit: bool):
+    """One step of the visit-list walk: grid (ray tiles x visit slots).
+
+    ``visit_ref[i, k]`` names the k-th nearest reachable triangle tile for
+    ray tile ``i`` (scalar-prefetched, so the G BlockSpec DMAs exactly that
+    tile); slots ``k >= count_ref[i]`` repeat the last tile (no DMA, no
+    compute).  Because tiles arrive near-to-far, the running ``best_t``
+    tightens fast and the in-kernel reach test skips most later tiles — the
+    TPU-native answer to the reference's ``TODO BVH``
+    (/root/reference/src/compute_paths.c:246)."""
+    i, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        t_ref[...] = jnp.full_like(t_ref, _BIG)
+        i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
+
+    j = visit_ref[i, k]
+
+    @pl.when(k < count_ref[i, 0])
+    def _step():
+        f = f_ref[...]
+        od = od_ref[...]
+        d = od[0:3, :]
+        o = od[3:6, :]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        lo = (aabb_ref[j, 0:3][:, None] - o) * inv
+        hi = (aabb_ref[j, 3:6][:, None] - o) * inv
+        t_near = jnp.max(jnp.minimum(lo, hi), axis=0, keepdims=True)
+        t_far = jnp.min(jnp.maximum(lo, hi), axis=0, keepdims=True)
+        if has_limit:
+            t_lim = lim_ref[...]
+            limit = jnp.minimum(t_ref[...], t_lim)
+        else:
+            t_lim = None
+            limit = t_ref[...]
+        reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
+                 & (limit >= 0.0))
+
+        @pl.when(jnp.any(reach))
+        def _eval():
+            _tile_body_walk(g_ref, f, ex_ref[...], t_ref, i_ref, j,
+                            block_tris, precision, t_lim)
+
+
+def _walk_prepass(od, lim, aabbs, block_rays: int, tile_chunk: int = 32):
+    """Per-ray-tile visit lists for the walk kernel (all jnp, fwd-only).
+
+    Returns ``visit`` i32[nRT, nTT] (reachable tiles first, sorted by their
+    nearest conservative entry distance; padding slots repeat the last entry
+    so the pipeline never re-DMAs) and ``count`` i32[nRT, 1].
+    """
+    r_pad = od.shape[1]
+    n_rt = r_pad // block_rays
+    n_tt = aabbs.shape[0]
+    d = od[0:3, :].reshape(3, n_rt, block_rays)
+    o = od[3:6, :].reshape(3, n_rt, block_rays)
+    lim_t = lim.reshape(n_rt, 1, block_rays)
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+    def chunk_fn(ab):                                 # ab: [C, 8]
+        lo = (ab[:, 0:3].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
+        hi = (ab[:, 3:6].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
+        # [3, nRT, C, block_rays]
+        t_near = jnp.max(jnp.minimum(lo, hi), axis=0)          # [nRT, C, R_b]
+        t_far = jnp.min(jnp.maximum(lo, hi), axis=0)
+        reach_r = ((t_far >= 0.0) & (t_near <= t_far)
+                   & (t_near <= lim_t) & (lim_t >= 0.0))
+        key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
+        return jnp.any(reach_r, axis=-1), jnp.min(key_r, axis=-1)
+
+    pad_tt = _round_up(n_tt, tile_chunk)
+    ab_all = jnp.pad(aabbs, ((0, pad_tt - n_tt), (0, 0)))
+    # padding boxes are all-zero -> lo==hi==(0-o)*inv; they may spuriously
+    # "reach" only if a ray passes through the center point; mask them after.
+    reach_c, key_c = jax.lax.map(
+        chunk_fn, ab_all.reshape(pad_tt // tile_chunk, tile_chunk, 8))
+    reach = jnp.moveaxis(reach_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_tt]
+    key = jnp.moveaxis(key_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_tt]
+
+    key = jnp.where(reach, key, jnp.inf)
+    count = jnp.sum(reach, axis=1, dtype=jnp.int32)            # [nRT]
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    kk = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (n_rt, n_tt), 1),
+                     jnp.maximum(count - 1, 0)[:, None])
+    visit = jnp.take_along_axis(order, kk, axis=1)
+    return visit, count[:, None]
+
+
 _PRECISIONS = ("highest", "exact1", "bf16x2", "high")
 
 
@@ -337,10 +465,11 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_rays", "block_tris", "interpret",
-                                    "precision", "cull", "has_t_max"))
+                                    "precision", "cull", "has_t_max",
+                                    "walk"))
 def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                            block_tris, interpret, precision, cull,
-                           has_t_max):
+                           has_t_max, walk=False):
     R = o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -378,6 +507,61 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
     out_specs = [row_spec, row_spec]
     out_shape = [jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
                  jax.ShapeDtypeStruct((1, r_pad), jnp.int32)]
+
+    if walk:
+        aabbs = _tile_aabbs(tris, t_pad, block_tris, center)
+        lim = jnp.full((1, r_pad), np.float32(T_MAX), jnp.float32)
+        if r_pad > R:
+            # padding rays are all-zero (o = d = 0): void their queries so
+            # the prepass never counts tiles for them
+            lim = lim.at[0, R:].set(-1.0)
+        if has_t_max:
+            tm = jnp.broadcast_to(
+                jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
+                (R,))
+            lim = lim.at[0, :R].set(tm)
+        visit, count = _walk_prepass(od, lim, aabbs, block_rays)
+        n_tt = t_pad // block_tris
+        nfeat = f.shape[0]
+        kern = functools.partial(_kernel_walk, block_tris=block_tris,
+                                 precision=precision, has_limit=has_t_max)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(r_pad // block_rays, n_tt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # aabbs (whole)
+                pl.BlockSpec((4, block_tris, nfeat),
+                             lambda i, k, visit, count: (0, visit[i, k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nfeat, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_rays),
+                             lambda i, k, visit, count: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        t_out, i_out = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(visit, count, aabbs, g, f, od, ex, lim)
+        t_r = t_out[0, :R]
+        i_r = i_out[0, :R]
+        return t_r, jnp.where(jnp.isfinite(t_r), i_r, -1)
 
     if cull:
         aabbs = _tile_aabbs(tris, t_pad, block_tris, center)
@@ -420,7 +604,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      block_rays: int = 1024, block_tris: int = 256,
                      interpret: bool = False, precision: str = "highest",
                      t_max=None, cull: Optional[bool] = None,
-                     exclude=None) -> Tuple[jax.Array, jax.Array]:
+                     exclude=None,
+                     walk: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -442,12 +627,13 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
         exclude, block_rays, block_tris, interpret, precision, bool(cull),
-        t_max is not None)
+        t_max is not None, walk=bool(walk))
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
                           block_tris: int = 256, interpret=None,
-                          precision: str = "highest", cull=None):
+                          precision: str = "highest", cull=None,
+                          walk: bool = False):
     """Bind a scene into an ``intersect_fn(o, d, t_max=None) -> (t, idx)``
     closure.
 
@@ -462,6 +648,6 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
         return pallas_intersect(o, d, tris, block_rays=block_rays,
                                 block_tris=block_tris, interpret=interpret,
                                 precision=precision, t_max=t_max, cull=cull,
-                                exclude=exclude)
+                                exclude=exclude, walk=walk)
 
     return intersect_fn

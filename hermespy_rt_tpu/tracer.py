@@ -159,15 +159,11 @@ class LocalSceneAccess:
         """Table rows for clamped indices, any leading shape -> [..., 27]."""
         if not self._onehot:
             return self._table[idx_safe]
-        T = self._table.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32, idx_safe.shape + (T,),
-                                        idx_safe.ndim)
-        oh = (idx_safe[..., None] == iota).astype(jnp.float32)
-        # HIGHEST keeps the selected rows bit-exact (f32 = 3 bf16 terms); the
-        # one-hot rows make every output a single exact product.
-        return jnp.dot(oh, self._table,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        # one exact native-bf16 MXU pass (limb-split table; see ops/fetch.py)
+        # — bit-identical to an f32 gather, 6x less MXU work than a HIGHEST
+        # one-hot matmul, and its backward scatter-add is one pass too.
+        from .ops.fetch import onehot_fetch
+        return onehot_fetch(idx_safe, self._table)
 
     def fetch(self, idx_safe) -> Dict[str, jax.Array]:
         """Per-hit triangle payload for already-clamped indices."""
@@ -199,12 +195,14 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     if cfg.backend in ("pallas", "auto"):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
-            # compaction relies on the culled kernel's reach test to skip
-            # dead-ray tiles, so it implies cull
+            # compaction relies on the culled/walk kernel's reach test to
+            # skip dead-ray tiles, so it implies cull (walk subsumes both)
             return make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                          block_tris=cfg.block_tris,
                                          precision=cfg.precision,
-                                         cull=cfg.cull or cfg.compact_rays)
+                                         cull=(cfg.cull or cfg.compact_rays)
+                                         and not cfg.walk,
+                                         walk=cfg.walk)
         except Exception:
             if cfg.backend == "pallas":
                 raise
