@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Multi-chip / multi-host scaling harness (BASELINE.md: >= 85% efficiency at
+2 hosts).
+
+Measures the sharded fwd+bwd trace step (ray data-parallel over a
+``(rays, tris)`` mesh, :func:`hermespy_rt_tpu.parallel.trace_paths_sharded`)
+at every device count 1..N and prints per-chip efficiency vs 1 chip.
+
+Usage:
+  python benchmarks/scaling.py                 # real devices (TPU pod/hosts)
+  python benchmarks/scaling.py --virtual 8     # 8 virtual CPU devices
+  python benchmarks/scaling.py --multihost --coordinator host:port \
+         --num-processes 2 --process-id K      # one invocation per host
+
+On a pod slice, run one process per host with the same arguments except
+``--process-id``; the mesh spans all processes (jax.distributed).  On the
+virtual CPU mesh the numbers validate the *mechanism* (sharding compiles,
+no hidden replication, collective layout); wall-clock efficiency there is
+bounded by host-core contention, not ICI, so it is reported but not a claim.
+
+Appends one JSON line per mesh size to benchmarks/logs/scaling.jsonl.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (mechanism check)")
+    ap.add_argument("--paths", type=int, default=1 << 18)
+    ap.add_argument("--bounces", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--multihost", action="store_true")
+    ap.add_argument("--coordinator", default="localhost:9876")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+
+    import jax
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.ops.geometry import fibonacci_sphere
+    from hermespy_rt_tpu.parallel import default_mesh, trace_paths_sharded
+    from hermespy_rt_tpu.parallel.sharding import initialize_distributed
+    from hermespy_rt_tpu.scene import load_hrt, flatten_scene
+
+    if args.multihost:
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
+    canyon = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
+    tris = flatten_scene(load_hrt(canyon))
+    mats = default_materials()
+    dirs = jnp.asarray(fibonacci_sphere(args.paths))
+    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    z = jnp.zeros((1, 3), jnp.float32)
+    cfg = TracerConfig(num_paths=args.paths, num_bounces=args.bounces,
+                       backend="auto", keep_rays=False, precision="exact1",
+                       unroll_bounces=False)
+
+    n_dev = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_dev]
+    if args.multihost and n_dev not in sizes:
+        sizes.append(n_dev)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "logs", "scaling.jsonl")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    base_qps = None
+    q = args.bounces * args.paths * 2
+    for n in sizes:
+        mesh = default_mesh(num_ray_shards=n)
+
+        def loss_fn(m):
+            r = trace_paths_sharded(tris, m, rx, tx, z, z, jnp.float32(3.0),
+                                    cfg, mesh=mesh, launch_dirs=dirs)
+            return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                    + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        out = step(mats)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = step(mats)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        qps = q / dt
+        if base_qps is None:
+            base_qps = qps
+        eff = qps / (base_qps * n)
+        rec = dict(devices=n, ms=dt * 1e3, qps=qps,
+                   qps_per_chip=qps / n, efficiency_vs_1chip=eff,
+                   loss=float(out[0]), virtual=bool(args.virtual),
+                   processes=args.num_processes if args.multihost else 1)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if not args.multihost or args.process_id == 0:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

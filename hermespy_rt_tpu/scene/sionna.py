@@ -6,18 +6,25 @@ loads each ``<shape>``'s binary little-endian PLY mesh, assigns materials from
 ``id="mat-itu_<name>"`` BSDF references, applies per-mesh material/velocity
 overrides from a ``<scene>.csv`` sidecar, and can emit HRT.
 
-TPU-native redesign: a real XML parser (``xml.etree``) with a regex fallback
-matching the reference's tolerant ``strstr`` scanning
-(/root/reference/src/scene_fromSionna.c:255-367), vectorised numpy PLY decoding
-instead of per-element ``fread`` (/root/reference/src/scene_fromSionna.c:103-164),
-and the same hardcoded ``box.xml`` / ``simple_reflector.xml`` shortcuts
+TPU-native redesign: a real XML parser (``xml.etree``, the default) that
+understands Mitsuba ``<transform name="to_world">`` blocks (``<matrix>``,
+``<translate>``, ``<rotate>``, ``<scale>``) and bakes them into the vertices —
+real Sionna/Mitsuba exports commonly transform their PLYs, which the
+reference's ``strstr`` scanner silently ignores
+(/root/reference/src/scene_fromSionna.c:255-367).  A regex fallback matching
+that tolerant scanning handles malformed XML.  PLY decoding is vectorised
+numpy instead of per-element ``fread``
+(/root/reference/src/scene_fromSionna.c:103-164), and the hardcoded
+``box.xml`` / ``simple_reflector.xml`` shortcuts are kept
 (/root/reference/src/scene_fromSionna.c:475-478).
 """
 from __future__ import annotations
 
+import math
 import os
 import re
-from typing import Dict, List, Tuple
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -146,6 +153,106 @@ def _parse_shapes_regex(xml_text: str) -> List[Tuple[str, str, str]]:
     return out
 
 
+def _vec3_attr(el, default=0.0) -> np.ndarray:
+    """x/y/z attributes (Mitsuba also allows ``value="x y z"`` / ``value=s``)."""
+    if "value" in el.attrib:
+        parts = el.attrib["value"].replace(",", " ").split()
+        if len(parts) == 1:
+            return np.full(3, float(parts[0]), np.float64)
+        return np.array([float(p) for p in parts[:3]], np.float64)
+    return np.array([float(el.attrib.get(a, default)) for a in "xyz"],
+                    np.float64)
+
+
+def _transform_matrix(tr_el) -> np.ndarray:
+    """Compose a Mitsuba ``<transform>`` block into one 4x4 matrix.
+
+    Children are applied in document order, each acting *after* the previous
+    ones (Mitsuba semantics), i.e. ``M = M_last @ ... @ M_first``.
+    """
+    m = np.eye(4, dtype=np.float64)
+    for child in tr_el:
+        tag = child.tag.lower()
+        step = np.eye(4, dtype=np.float64)
+        if tag == "matrix":
+            vals = [float(v) for v in child.attrib["value"].split()]
+            if len(vals) == 16:
+                step = np.array(vals, np.float64).reshape(4, 4)
+            elif len(vals) == 9:
+                step[:3, :3] = np.array(vals, np.float64).reshape(3, 3)
+            else:
+                raise SionnaImportError(
+                    f"<matrix> needs 9 or 16 values, got {len(vals)}")
+        elif tag == "translate":
+            step[:3, 3] = _vec3_attr(child)
+        elif tag == "scale":
+            step[:3, :3] = np.diag(_vec3_attr(child, default=1.0))
+        elif tag == "rotate":
+            axis = _vec3_attr(child)
+            n = np.linalg.norm(axis)
+            if n == 0:
+                raise SionnaImportError("<rotate> needs a nonzero axis")
+            x, y, z = axis / n
+            a = math.radians(float(child.attrib.get("angle", 0.0)))
+            c, s = math.cos(a), math.sin(a)
+            cc = 1.0 - c
+            step[:3, :3] = np.array([
+                [c + x * x * cc, x * y * cc - z * s, x * z * cc + y * s],
+                [y * x * cc + z * s, c + y * y * cc, y * z * cc - x * s],
+                [z * x * cc - y * s, z * y * cc + x * s, c + z * z * cc]])
+        elif tag == "lookat":
+            # camera-style; irrelevant for shape geometry but accepted
+            continue
+        else:
+            raise SionnaImportError(f"unsupported transform child <{tag}>")
+        m = step @ m
+    return m
+
+
+def _parse_shapes_etree(xml_text: str):
+    """Structured shape extraction via ``xml.etree``: per ``<shape>`` element
+    the name (``id``/``name`` attribute), the ``filename`` string value, the
+    ITU material (any ``mat-itu_*`` reference inside the shape; unknown/
+    missing falls back to ``air``, matching the reference's unknown-name
+    default, /root/reference/src/materials.c:117-122), and the composed
+    ``to_world`` transform (None if absent/identity)."""
+    root = ET.fromstring(xml_text)
+    shapes = root.iter("shape")
+    out = []
+    for i, sh in enumerate(shapes):
+        # the reference scanner takes the first name="..." in the block
+        # (/root/reference/src/scene_fromSionna.c:288-300); keep the raw value
+        # so CSV sidecar names keep matching
+        name = sh.attrib.get("name", sh.attrib.get("id", f"shape{i}"))
+        filename = None
+        for st in sh.iter("string"):
+            if st.attrib.get("name") == "filename":
+                filename = st.attrib.get("value")
+                break
+        if filename is None:
+            raise SionnaImportError(f"shape {name!r}: no filename")
+        material = "air"
+        for el in sh.iter():
+            for v in el.attrib.values():
+                if isinstance(v, str) and v.startswith("mat-itu_"):
+                    material = v[len("mat-itu_"):]
+                    break
+            else:
+                continue
+            break
+        transform: Optional[np.ndarray] = None
+        for tr in sh.iter("transform"):
+            if tr.attrib.get("name", "to_world") == "to_world":
+                mat = _transform_matrix(tr)
+                if not np.allclose(mat, np.eye(4)):
+                    transform = mat
+                break
+        out.append((name, filename, material, transform))
+    if not out:
+        raise SionnaImportError("no shapes found in the xml file")
+    return out
+
+
 def _read_csv_overrides(path: str) -> Dict[str, Tuple[int, np.ndarray]]:
     """Sidecar CSV ``name,material_index,velocity_x,velocity_y,velocity_z``
     overriding per-mesh material and velocity
@@ -172,20 +279,34 @@ def _read_csv_overrides(path: str) -> Dict[str, Tuple[int, np.ndarray]]:
 
 def load_sionna_xml(xml_path: str) -> HostScene:
     """Load a Sionna/Mitsuba scene: XML shapes -> PLY meshes (resolved relative
-    to the XML's directory) + ITU materials + optional CSV overrides."""
+    to the XML's directory, ``to_world`` transforms baked into the vertices)
+    + ITU materials + optional CSV overrides.
+
+    Parsing uses ``xml.etree``; scenes that are not well-formed XML fall back
+    to the reference-style tolerant regex scan (no transform support there —
+    the reference ignores transforms entirely,
+    /root/reference/src/scene_fromSionna.c:255-367)."""
     with open(xml_path, "r") as f:
         xml_text = f.read()
-    shapes = _parse_shapes_regex(xml_text)
+    try:
+        shapes = _parse_shapes_etree(xml_text)
+    except ET.ParseError:
+        shapes = [(n, p, m, None)
+                  for n, p, m in _parse_shapes_regex(xml_text)]
 
     csv_path = os.path.splitext(xml_path)[0] + ".csv"
     overrides = _read_csv_overrides(csv_path) if os.path.exists(csv_path) else {}
 
     scene_dir = os.path.dirname(os.path.abspath(xml_path))
     meshes = []
-    for name, rel_path, material_name in shapes:
+    for name, rel_path, material_name, transform in shapes:
         mesh = load_ply(os.path.join(scene_dir, rel_path))
         mesh.name = name
         mesh.material_index = get_material_index(material_name)
+        if transform is not None:
+            v = mesh.vertices.astype(np.float64)
+            v = v @ transform[:3, :3].T + transform[:3, 3]
+            mesh.vertices = v.astype(np.float32)
         if name in overrides:
             mesh.material_index, mesh.velocity = overrides[name]
         meshes.append(mesh)

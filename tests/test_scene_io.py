@@ -122,3 +122,82 @@ def test_ply_loader_against_reference_ply(tmp_path):
     _write_ply(tmp_path / "m.ply", [[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]])
     mesh = load_ply(str(tmp_path / "m.ply"))
     assert mesh.num_vertices == 3 and mesh.num_triangles == 1
+
+
+def test_sionna_transform_matrix_and_ops(tmp_path):
+    """Mitsuba <transform name="to_world"> blocks (matrix / translate /
+    rotate / scale) are parsed by the xml.etree path and baked into the
+    vertices — the reference scanner ignores them entirely
+    (/root/reference/src/scene_fromSionna.c:255-367)."""
+    meshes_dir = tmp_path / "meshes"
+    os.makedirs(meshes_dir)
+    _write_ply(meshes_dir / "plate.ply",
+               [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+               [[0, 1, 2], [0, 2, 3]])
+    xml = """<?xml version="1.0"?>
+<scene version="2.1.0">
+  <bsdf type="twosided" id="mat-itu_metal"/>
+  <shape type="ply" id="mesh-car" name="car">
+    <string name="filename" value="meshes/plate.ply"/>
+    <ref id="mat-itu_metal" name="bsdf"/>
+    <transform name="to_world">
+      <scale value="2"/>
+      <rotate z="1" angle="90"/>
+      <translate x="10" y="-3" z="5"/>
+    </transform>
+  </shape>
+  <shape type="ply" id="mesh-wall" name="wall">
+    <string name="filename" value="meshes/plate.ply"/>
+    <ref id="mat-itu_concrete" name="bsdf"/>
+    <transform name="to_world">
+      <matrix value="1 0 0 4  0 1 0 0  0 0 1 0  0 0 0 1"/>
+    </transform>
+  </shape>
+</scene>"""
+    p = tmp_path / "t.xml"
+    p.write_text(xml)
+    scene = load_scene(str(p))
+    assert scene.num_meshes == 2
+    car, wall = scene.meshes
+    assert car.material_index == 13  # metal
+    # scale 2 then rotate 90deg about z then translate: (1,0,0) ->
+    # (2,0,0) -> (0,2,0) -> (10,-1,5)
+    np.testing.assert_allclose(car.vertices[1], [10, -1, 5], atol=1e-5)
+    np.testing.assert_allclose(car.vertices[0], [10, -3, 5], atol=1e-5)
+    # 4x4 matrix translate x+4
+    np.testing.assert_allclose(wall.vertices[0], [4, 0, 0], atol=1e-6)
+
+    # and it traces end-to-end
+    import jax.numpy as jnp
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.tracer import trace_paths
+    tris = flatten_scene(scene)
+    res = trace_paths(tris, default_materials(),
+                      jnp.asarray([[10.0, -2.0, 8.0]]),
+                      jnp.asarray([[10.0, -2.0, 2.0]]),
+                      jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.float32(3.0),
+                      TracerConfig(num_paths=256, num_bounces=2,
+                                   backend="jnp", keep_rays=False))
+    assert np.isfinite(np.abs(np.asarray(res.scatter.a_te))).all()
+
+
+def test_sionna_regex_fallback_on_malformed_xml(tmp_path):
+    """Not-well-formed XML (unclosed tags) falls back to the reference-style
+    regex scan and still imports."""
+    meshes_dir = tmp_path / "meshes"
+    os.makedirs(meshes_dir)
+    _write_ply(meshes_dir / "plate.ply",
+               [[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]])
+    xml = """<scene version="2.1.0">
+  <shape type="ply" name="plate">
+    <string name="filename" value="meshes/plate.ply"/>
+    <ref id="mat-itu_brick" name="bsdf"/>
+  </shape>
+  <unclosed>
+</scene>"""
+    p = tmp_path / "bad.xml"
+    p.write_text(xml)
+    scene = load_scene(str(p))
+    assert scene.num_meshes == 1
+    assert scene.meshes[0].material_index == 2  # brick
