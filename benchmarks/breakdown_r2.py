@@ -73,12 +73,16 @@ def kernel_micro():
     d_s = jnp.asarray(ds.astype(np.float32))
 
     for tag, o, d in (("bounce", o_b, d_b), ("shadow", o_s, d_s)):
-        for mode, bt, walk in (("brute", 256, False), ("walk", 256, True),
-                               ("walk", 128, True), ("walk", 64, True),
-                               ("walk", 32, True)):
-            fn = jax.jit(lambda o, d, bt=bt, walk=walk: pallas_intersect(
-                o, d, tris, block_rays=1024, block_tris=bt,
-                precision="exact1", walk=walk))
+        # NOTE: the scalar-prefetch walk kernel exhausts SMEM above ~1024
+        # grid steps at 1M rays (probe_walk2.log) — walk variants measured
+        # separately once the fori-DMA redesign lands.
+        for mode, bt, walk in (("brute", 256, False), ("cull", 256, False),
+                               ("cull", 64, False)):
+            cull = mode == "cull"
+            fn = jax.jit(lambda o, d, bt=bt, walk=walk, cull=cull:
+                         pallas_intersect(
+                             o, d, tris, block_rays=1024, block_tris=bt,
+                             precision="exact1", walk=walk, cull=cull))
             dt, comp = timeit(fn, o, d)
             emit(kind="kernel", rays=tag, mode=mode, block_tris=bt,
                  ms=dt * 1e3, mqs=P / dt / 1e6, compile_s=round(comp, 1))
@@ -114,11 +118,8 @@ def e2e():
 
     run("default_r2fetch")                       # new fetch, old kernel
     run("default_fwdonly", fwd_only=True)
-    run("walk64", walk=True, block_tris=64)
-    run("walk64_fwdonly", fwd_only=True, walk=True, block_tris=64)
-    run("walk128", walk=True, block_tris=128)
-    run("walk32", walk=True, block_tris=32)
-    run("walk64_compact", walk=True, block_tris=64, compact_rays=True)
+    run("take_gather", gather="take")
+    run("physical_mode", parity="physical")
 
 
 def soup():
@@ -128,9 +129,7 @@ def soup():
     d = jnp.asarray(fibonacci_sphere(P))
     for tag, kw in (("brute256", dict(block_tris=256)),
                     ("cull256", dict(block_tris=256, cull=True)),
-                    ("walk512", dict(block_tris=512, walk=True)),
-                    ("walk256", dict(block_tris=256, walk=True)),
-                    ("walk128", dict(block_tris=128, walk=True))):
+                    ("cull512", dict(block_tris=512, cull=True))):
         fn = jax.jit(lambda o, d, kw=kw: pallas_intersect(
             o, d, tris, block_rays=1024, precision="exact1", **kw))
         dt, comp = timeit(fn, o, d, iters=2)

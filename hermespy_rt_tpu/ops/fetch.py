@@ -35,11 +35,20 @@ __all__ = ["onehot_fetch", "take_fetch"]
 
 def _split3_bf16(x):
     """f32 -> 3 bf16 limbs with h1 + h2 + h3 == x exactly (24 = 3 x 8
-    mantissa bits)."""
+    mantissa bits).
+
+    The optimization barriers are load-bearing: this repo's TPU sessions run
+    with ``--xla_allow_excess_precision=true``, under which XLA elides
+    ``convert_f32(convert_bf16(x))`` round-trips — turning ``x - f32(bf16(x))``
+    into ``x - x == 0`` and silently zeroing the lower limbs (observed on
+    TPU: 2^-8 relative fetch error, benchmarks/logs/probe_walk3.log).  The
+    barrier pins the rounded value so the residual is computed for real.
+    """
     h1 = x.astype(jnp.bfloat16)
-    r1 = x - h1.astype(jnp.float32)
+    r1 = x - jax.lax.optimization_barrier(h1).astype(jnp.float32)
     h2 = r1.astype(jnp.bfloat16)
-    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    h3 = (r1 - jax.lax.optimization_barrier(h2).astype(jnp.float32)
+          ).astype(jnp.bfloat16)
     return h1, h2, h3
 
 

@@ -111,11 +111,21 @@ def _split_bf16(x):
 
 def _split3_bf16(x):
     """f32 -> (h1, h2, h3) bf16 triple with h1+h2+h3 == x exactly (a 24-bit
-    mantissa splits exactly into three 8-bit bf16 limbs)."""
+    mantissa splits exactly into three 8-bit bf16 limbs).
+
+    This split runs OUTSIDE the Pallas kernel (the exact1 G/F expansion), in
+    XLA land, where ``--xla_allow_excess_precision=true`` (set by this repo's
+    TPU terminal) licenses XLA to elide ``convert_f32(convert_bf16(x))``
+    round-trips — which would turn the residuals into zeros and silently
+    collapse exact1 to single-bf16 accuracy.  The optimization barriers pin
+    the rounded values (found the hard way: benchmarks/logs/probe_walk3.log).
+    The in-kernel :func:`_split_bf16` needs no barrier (Mosaic does not
+    apply that rewrite)."""
     h1 = x.astype(jnp.bfloat16)
-    r1 = x - h1.astype(jnp.float32)
+    r1 = x - jax.lax.optimization_barrier(h1).astype(jnp.float32)
     h2 = r1.astype(jnp.bfloat16)
-    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    h3 = (r1 - jax.lax.optimization_barrier(h2).astype(jnp.float32)
+          ).astype(jnp.bfloat16)
     return h1, h2, h3
 
 
@@ -323,51 +333,75 @@ def _tile_body_walk(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
     i_ref[...] = jnp.where(improve, tile_idx, best_i)
 
 
-def _kernel_walk(visit_ref, count_ref, aabb_ref, g_ref, f_ref, od_ref,
-                 ex_ref, lim_ref, t_ref, i_ref, *, block_tris: int,
-                 precision, has_limit: bool):
-    """One step of the visit-list walk: grid (ray tiles x visit slots).
+def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
+                 ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, *,
+                 block_tris: int, precision, has_limit: bool):
+    """Visit-list walk, one grid step per RAY tile (grid = (nRT,)).
 
-    ``visit_ref[i, k]`` names the k-th nearest reachable triangle tile for
-    ray tile ``i`` (scalar-prefetched, so the G BlockSpec DMAs exactly that
-    tile); slots ``k >= count_ref[i]`` repeat the last tile (no DMA, no
-    compute).  Because tiles arrive near-to-far, the running ``best_t``
-    tightens fast and the in-kernel reach test skips most later tiles — the
-    TPU-native answer to the reference's ``TODO BVH``
-    (/root/reference/src/compute_paths.c:246)."""
-    i, k = pl.program_id(0), pl.program_id(1)
+    ``visit_ref`` (SMEM, [8, C] rows of 8 consecutive ray tiles; col 0 is the
+    count, cols 1.. the visit list) names this ray tile's conservatively
+    reachable triangle tiles nearest-first; the kernel fori-loops over them,
+    double-buffering each G tile from HBM by hand (``g_buf``/``sem``) so
+    unreachable tiles are neither DMA'd nor evaluated.  Because tiles arrive
+    near-to-far, the running ``best_t`` tightens fast and the per-tile reach
+    test skips most later tiles — the TPU-native answer to the reference's
+    ``TODO BVH`` (/root/reference/src/compute_paths.c:246).
 
-    @pl.when(k == 0)
-    def _init():
-        t_ref[...] = jnp.full_like(t_ref, _BIG)
-        i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
+    (A first design used scalar-prefetched BlockSpec indices over a
+    (ray tiles x visit slots) grid; Mosaic spends ~0.5-1 KB of SMEM per grid
+    step on such grids and dies above ~1024 steps — benchmarks/probe_walk2.
+    The fori form keeps the grid at nRT steps and has no such limit.)"""
 
-    j = visit_ref[i, k]
+    t_ref[...] = jnp.full_like(t_ref, _BIG)
+    i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
+    row = jax.lax.rem(pl.program_id(0), 8)
+    n = visit_ref[row, 0]
 
-    @pl.when(k < count_ref[i, 0])
-    def _step():
-        f = f_ref[...]
-        od = od_ref[...]
-        d = od[0:3, :]
-        o = od[3:6, :]
-        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    def get_dma(slot, k):
+        j = visit_ref[row, k + 1]
+        return pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(j * block_tris, block_tris), :],
+            g_buf.at[slot], sem.at[slot])
+
+    @pl.when(n > 0)
+    def _warmup():
+        get_dma(0, 0).start()
+
+    f = f_ref[...]
+    od = od_ref[...]
+    d = od[0:3, :]
+    o = od[3:6, :]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    excl = ex_ref[...]
+    t_lim = lim_ref[...] if has_limit else None
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _prefetch():
+            get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        get_dma(slot, k).wait()
+        j = visit_ref[row, k + 1]
         lo = (aabb_ref[j, 0:3][:, None] - o) * inv
         hi = (aabb_ref[j, 3:6][:, None] - o) * inv
         t_near = jnp.max(jnp.minimum(lo, hi), axis=0, keepdims=True)
         t_far = jnp.min(jnp.maximum(lo, hi), axis=0, keepdims=True)
         if has_limit:
-            t_lim = lim_ref[...]
             limit = jnp.minimum(t_ref[...], t_lim)
         else:
-            t_lim = None
             limit = t_ref[...]
         reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
                  & (limit >= 0.0))
 
         @pl.when(jnp.any(reach))
         def _eval():
-            _tile_body_walk(g_ref, f, ex_ref[...], t_ref, i_ref, j,
+            _tile_body_walk(g_buf[slot], f, excl, t_ref, i_ref, j,
                             block_tris, precision, t_lim)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def _walk_prepass(od, lim, aabbs, block_rays: int, tile_chunk: int = 32):
@@ -411,7 +445,15 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, tile_chunk: int = 32):
     kk = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (n_rt, n_tt), 1),
                      jnp.maximum(count - 1, 0)[:, None])
     visit = jnp.take_along_axis(order, kk, axis=1)
-    return visit, count[:, None]
+    # one SMEM-friendly array: col 0 = count, cols 1.. = visit list; rows
+    # padded to a multiple of 8 and cols to a multiple of 128 so the kernel
+    # can read it through a (8, C) SMEM block
+    c_pad = _round_up(1 + n_tt, 128)
+    r8 = _round_up(n_rt, 8)
+    packed = jnp.zeros((r8, c_pad), jnp.int32)
+    packed = packed.at[:n_rt, 0].set(count)
+    packed = packed.at[:n_rt, 1:1 + n_tt].set(visit)
+    return packed
 
 
 _PRECISIONS = ("highest", "exact1", "bf16x2", "high")
@@ -520,45 +562,41 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
                 (R,))
             lim = lim.at[0, :R].set(tm)
-        visit, count = _walk_prepass(od, lim, aabbs, block_rays)
-        n_tt = t_pad // block_tris
+        visits = _walk_prepass(od, lim, aabbs, block_rays)
         nfeat = f.shape[0]
         kern = functools.partial(_kernel_walk, block_tris=block_tris,
                                  precision=precision, has_limit=has_t_max)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(r_pad // block_rays, n_tt),
+        row = lambda i: (0, i)
+        t_out, i_out = pl.pallas_call(
+            kern,
+            grid=(r_pad // block_rays,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # aabbs (whole)
-                pl.BlockSpec((4, block_tris, nfeat),
-                             lambda i, k, visit, count: (0, visit[i, k], 0),
+                pl.BlockSpec((8, visits.shape[1]), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),  # count+visit rows
+                pl.BlockSpec(memory_space=pltpu.VMEM),          # aabbs
+                pl.BlockSpec(memory_space=pltpu.ANY),           # G (HBM)
+                pl.BlockSpec((nfeat, block_rays), row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nfeat, block_rays),
-                             lambda i, k, visit, count: (0, i),
+                pl.BlockSpec((8, block_rays), row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, block_rays),
-                             lambda i, k, visit, count: (0, i),
+                pl.BlockSpec((1, block_rays), row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays),
-                             lambda i, k, visit, count: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays),
-                             lambda i, k, visit, count: (0, i),
+                pl.BlockSpec((1, block_rays), row,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_rays),
-                             lambda i, k, visit, count: (0, i),
+                pl.BlockSpec((1, block_rays), row,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays),
-                             lambda i, k, visit, count: (0, i),
+                pl.BlockSpec((1, block_rays), row,
                              memory_space=pltpu.VMEM),
             ],
-        )
-        t_out, i_out = pl.pallas_call(
-            kern, grid_spec=grid_spec, out_shape=out_shape,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, block_tris, nfeat), g.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
             interpret=interpret,
-        )(visit, count, aabbs, g, f, od, ex, lim)
+        )(visits, aabbs, g, f, od, ex, lim)
         t_r = t_out[0, :R]
         i_r = i_out[0, :R]
         return t_r, jnp.where(jnp.isfinite(t_r), i_r, -1)

@@ -117,3 +117,53 @@ def test_profiling_harness():
     rec = log_metrics(stats, extra={"scene": "reflector"})
     assert rec["scene"] == "reflector"
     json.dumps(rec)
+
+
+def test_interactive_viewer_controls(tmp_path):
+    """RayViewer: bounce stepping (x/z), pan (wasd), roll (q/e) all work
+    headless — interactive parity with /root/reference/viz/vizrays.c:200-279."""
+    import jax.numpy as jnp
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.scene import box_scene, flatten_scene
+    from hermespy_rt_tpu.tracer import trace_paths
+    from hermespy_rt_tpu.viz import vizrays
+
+    scene = box_scene()
+    res = trace_paths(flatten_scene(scene), default_materials(),
+                      jnp.asarray([[1.0, 2.0, 1.5]]),
+                      jnp.asarray([[-2.0, -1.0, 2.5]]),
+                      jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.float32(3.0),
+                      TracerConfig(num_paths=64, num_bounces=3,
+                                   backend="jnp"))
+    viewer = vizrays(scene, res.rays_scatter, show=False, max_rays=32)
+    assert viewer.bounce == 0
+    n0 = len(viewer._ray_artists)
+    assert n0 > 0
+
+    class E:
+        def __init__(self, key):
+            self.key = key
+
+    viewer.on_key(E("x"))
+    assert viewer.bounce == 1
+    viewer.on_key(E("x"))
+    viewer.on_key(E("x"))
+    viewer.on_key(E("x"))  # clamps at num_slots-1
+    assert viewer.bounce == viewer.num_slots - 1
+    viewer.on_key(E("z"))
+    assert viewer.bounce == viewer.num_slots - 2
+
+    xlim0 = viewer.ax.get_xlim()
+    viewer.on_key(E("d"))
+    assert viewer.ax.get_xlim() != xlim0
+
+    roll0 = getattr(viewer.ax, "roll", 0.0)
+    viewer.on_key(E("e"))
+    assert getattr(viewer.ax, "roll", 0.0) != roll0
+
+    # the PNG path still renders after interaction
+    from hermespy_rt_tpu.viz import save_rays_figure
+    out = save_rays_figure(scene, res.rays_scatter, str(tmp_path / "r.png"))
+    import os
+    assert os.path.getsize(out) > 0
