@@ -51,9 +51,11 @@ class TracerConfig:
     keep_rays: bool = True
     occlusion_offset: float = 1e-4
     # hit-payload fetch strategy: "onehot" = one-hot matmul against the fused
-    # per-triangle table (MXU, exact — fastest for small scenes), "take" =
-    # plain XLA gather, "auto" = onehot for scenes up to 4096 padded
-    # triangles, take beyond.
+    # per-triangle table (MXU, exact — the one-hot materialises in HBM),
+    # "onehot_pallas" = same contraction inside a Pallas kernel with the
+    # one-hot living only in VMEM (no HBM round-trip), "take" = plain XLA
+    # gather, "auto" = onehot_pallas for scenes up to 4096 padded triangles
+    # under the pallas backend, onehot on the jnp backend, take beyond 4096.
     gather: str = "auto"
     # Pallas intersection kernel precision:
     #   "exact1"  - full-f32-grade contraction in ONE native bf16 MXU pass:
@@ -110,8 +112,9 @@ class TracerConfig:
         if self.scan_remat not in ("save_all", "recompute"):
             raise ValueError(f"scan_remat must be 'save_all' or 'recompute',"
                              f" got {self.scan_remat!r}")
-        if self.gather not in ("auto", "onehot", "take"):
-            raise ValueError(f"gather must be 'auto', 'onehot' or 'take', got {self.gather!r}")
+        if self.gather not in ("auto", "onehot", "onehot_pallas", "take"):
+            raise ValueError("gather must be 'auto', 'onehot', "
+                             f"'onehot_pallas' or 'take', got {self.gather!r}")
         if self.precision not in ("highest", "exact1", "bf16x2", "high"):
             raise ValueError("precision must be 'highest', 'exact1', "
                              f"'bf16x2' or 'high', got {self.precision!r}")

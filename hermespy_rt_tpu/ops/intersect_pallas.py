@@ -142,15 +142,31 @@ _EXACT1_COMBOS = ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1),
 _NFEAT_EXACT1 = _NFEAT * len(_EXACT1_COMBOS)  # = 128
 
 
+def _split3_bf16_kernel(x):
+    """In-kernel (Mosaic) 3-limb split — no optimization barriers needed:
+    Mosaic does not apply XLA's excess-precision convert-elision rewrite
+    (validated on TPU: zero exact1-vs-highest decision flips on 1M bounce
+    rays, benchmarks/logs/probe_walk4.log)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
 def _expand_g_exact1(g: jax.Array) -> jax.Array:
-    """[4, T, 16] f32 -> [4, T, 128] bf16 (G limb per combo slot)."""
-    limbs = _split3_bf16(g)
+    """[4, T, 16] f32 -> [4, T, 128] bf16 (G limb per combo slot).  Runs
+    INSIDE the kernel: the operands cross HBM as compact f32 and the limb
+    expansion costs VPU-only work in VMEM (doing it in XLA land materialises
+    ~GB-scale barrier-pinned intermediates, measured +3.5 ms per 1M-query
+    call)."""
+    limbs = _split3_bf16_kernel(g)
     return jnp.concatenate([limbs[i] for i, _ in _EXACT1_COMBOS], axis=-1)
 
 
 def _expand_f_exact1(f: jax.Array) -> jax.Array:
-    """[16, R] f32 -> [128, R] bf16 (F limb per combo slot)."""
-    limbs = _split3_bf16(f)
+    """[16, R] f32 -> [128, R] bf16 (F limb per combo slot); in-kernel."""
+    limbs = _split3_bf16_kernel(f)
     return jnp.concatenate([limbs[j] for _, j in _EXACT1_COMBOS], axis=0)
 
 
@@ -180,11 +196,16 @@ def _mt_terms_mxu(g_ref, f, precision):
                 dot(g_ref[3], f))
 
     if precision == "exact1":
-        # operands arrive pre-expanded to bf16 K-limb columns: one native
-        # pass per quantity IS the full-precision contraction.
+        # expand f32 operands to bf16 K-limb columns in VMEM: one native
+        # pass per quantity IS the full-precision contraction.  The walk
+        # kernel hands G pre-expanded (bf16, 128 lanes — its manual HBM DMA
+        # needs lane-128 slices); the grid kernels expand in-kernel.
+        g = g_ref[...]
+        ge = g if g.dtype == jnp.bfloat16 else _expand_g_exact1(g)
+        fe = _expand_f_exact1(f) if f.shape[0] != _NFEAT_EXACT1 else f
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-        return (dot(g_ref[0], f), dot(g_ref[1], f), dot(g_ref[2], f),
-                dot(g_ref[3], f))
+        return (dot(ge[0], fe), dot(ge[1], fe), dot(ge[2], fe),
+                dot(ge[3], fe))
 
     fh, fl = _split_bf16(f)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
@@ -530,9 +551,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
     if exclude is not None:
         ex = ex.at[0, :R].set(
             jax.lax.stop_gradient(jnp.asarray(exclude, jnp.int32)))
-    if precision == "exact1":
-        g = _expand_g_exact1(g)
-        f = _expand_f_exact1(f)
+    # exact1 limb expansion happens INSIDE the kernel (see _expand_g_exact1)
     nfeat = f.shape[0]
 
     grid = (r_pad // block_rays, t_pad // block_tris)
@@ -563,6 +582,19 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 (R,))
             lim = lim.at[0, :R].set(tm)
         visits = _walk_prepass(od, lim, aabbs, block_rays)
+        # The walk kernel's manual HBM->VMEM G copies need lane-128 slices
+        # (Mosaic DMA alignment), so G ships pre-expanded: exact1 -> bf16
+        # limb columns (cheap outside the kernel — G is T-sized, not
+        # R-sized; barriered split per the excess-precision hazard), other
+        # precisions -> f32 zero-padded K lanes (zero lanes contribute 0).
+        if precision == "exact1":
+            limbs = _split3_bf16(g)
+            g_walk = jnp.concatenate([limbs[i] for i, _ in _EXACT1_COMBOS],
+                                     axis=-1)
+        else:
+            g_walk = jnp.pad(g, ((0, 0), (0, 0), (0, 128 - g.shape[-1])))
+            f = jnp.pad(f, ((0, 128 - f.shape[0]), (0, 0)))
+        g = g_walk
         nfeat = f.shape[0]
         kern = functools.partial(_kernel_walk, block_tris=block_tris,
                                  precision=precision, has_limit=has_t_max)
@@ -592,7 +624,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
             ],
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((2, 4, block_tris, nfeat), g.dtype),
+                pltpu.VMEM((2, 4, block_tris, g.shape[-1]), g.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

@@ -126,8 +126,14 @@ class LocalSceneAccess:
         if intersect_fn is None:
             intersect_fn = _select_intersect(tris, cfg)
         self._intersect = intersect_fn
-        self._onehot = (cfg.gather == "onehot"
-                        or (cfg.gather == "auto" and tris.v0.shape[0] <= 4096))
+        small = tris.v0.shape[0] <= 4096
+        pallas_ok = cfg.backend in ("pallas", "auto")
+        if cfg.gather == "auto":
+            self._gather = ("onehot_pallas" if small and pallas_ok
+                            else "onehot" if small else "take")
+        else:
+            self._gather = cfg.gather
+        self._onehot = self._gather in ("onehot", "onehot_pallas")
         self._table = None
         if eta is not None:
             mat = tris.material
@@ -156,12 +162,21 @@ class LocalSceneAccess:
         return self._intersect(o, d, t_max, exclude)
 
     def _rows(self, idx_safe):
-        """Table rows for clamped indices, any leading shape -> [..., 27]."""
+        """Table rows for clamped indices, any leading shape -> [..., 27].
+
+        One exact native-bf16 MXU pass (limb-split table; see ops/fetch.py)
+        — bit-identical to an f32 gather, 6x less MXU work than a HIGHEST
+        one-hot matmul, and its backward scatter-add is one pass too.  The
+        "onehot_pallas" variant additionally keeps the one-hot operand in
+        VMEM (the XLA form materialises ~0.5 GB/M-rays in HBM).
+        """
         if not self._onehot:
             return self._table[idx_safe]
-        # one exact native-bf16 MXU pass (limb-split table; see ops/fetch.py)
-        # — bit-identical to an f32 gather, 6x less MXU work than a HIGHEST
-        # one-hot matmul, and its backward scatter-add is one pass too.
+        if self._gather == "onehot_pallas":
+            import jax as _jax
+            from .ops.fetch_pallas import pallas_onehot_fetch
+            return pallas_onehot_fetch(idx_safe, self._table,
+                                       _jax.default_backend() != "tpu")
         from .ops.fetch import onehot_fetch
         return onehot_fetch(idx_safe, self._table)
 

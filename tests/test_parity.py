@@ -211,3 +211,82 @@ def test_physical_mode_runs():
     # in a closed box every in-box shadow ray within 1 m is the same set or
     # fewer than distance-correct blocking
     assert nz_phy <= nz_ref
+
+
+def test_canyon_parity_flips_are_marginal():
+    """Flip taxonomy for the oracle comparison (VERDICT r1 weak #6): slots
+    where we and the C reference disagree on the hit/blocked mask must be
+    provably marginal — the ray chain that produced them involves an f64
+    Möller–Trumbore quantity within epsilon of a decision boundary (a
+    barycentric edge, the t<=1 occlusion window, or a near-tie nearest hit).
+
+    Reconstructed from our own RaysInfo: slot (rx, b, p) flips only if the
+    bounce-b hit decision or the (b, rx) shadow occlusion was marginal at
+    some depth <= b."""
+    from tests.utils import _mt_f64
+    from hermespy_rt_tpu.scene import load_hrt, flatten_scene
+
+    P, B = 2000, 3
+    rx = [[10.0, 5.0, 2.0]]
+    tx = [[-20.0, -10.0, 10.0]]
+    path = ref_scene_path("simple_street_canyon_with_cars.hrt")
+    z = np.zeros((1, 3), np.float32)
+    ref = run_reference(path, np.asarray(rx, np.float32),
+                        np.asarray(tx, np.float32), z, z, 3.0, P, B)
+    res = hrt.trace(path, rx, tx, config=hrt.TracerConfig(
+        num_paths=P, num_bounces=B, backend="jnp", keep_rays=True))
+    scat = res.scatter
+    tiny = 1e-37
+    nz_ref = np.abs(ref.scatter.a_te) > tiny
+    nz_us = np.abs(np.asarray(scat.a_te)) > tiny
+    flips = (nz_ref != nz_us)[0, 0]          # [B*P]
+    if not flips.any():
+        return
+    tris = flatten_scene(load_hrt(path))
+    rays = res.rays_scatter                   # origins [NTx, B+1, P, 3]
+    margin = 2e-4
+
+    def marginal(o, d, window=None):
+        """Any f64 MT quantity within margin of a decision boundary?"""
+        det, u, v, t = _mt_f64(tris, o[None], d[None])
+        det, u, v, t = det[0], u[0], v[0], t[0]
+        near_edge = (np.abs(u) < margin) | (np.abs(u - 1) < margin) | \
+                    (np.abs(v) < margin) | (np.abs(u + v - 1) < margin) | \
+                    (np.abs(det) < 1e-5)
+        inside = (u > -margin) & (v > -margin) & (u + v < 1 + margin) & \
+                 (t > 0)
+        cand = inside & (t > 0)
+        if window is not None:
+            near_window = cand & (np.abs(t - window) < margin * window)
+            if near_window.any():
+                return True
+        if (near_edge & inside).any():
+            return True
+        # near-tie nearest hits
+        valid = (u > margin) & (v > margin) & (u + v < 1 - margin) & (t > 1e-7)
+        if window is not None:
+            valid &= t <= window
+        ts = np.sort(t[valid])
+        return len(ts) >= 2 and (ts[1] - ts[0]) < margin * max(ts[0], 1e-9)
+
+    rxp = np.asarray(rx[0], np.float64)
+    unexplained = []
+    for slot in np.where(flips)[0]:
+        b, p = divmod(int(slot), P)
+        ok = False
+        for bb in range(b + 1):
+            o_b = np.asarray(rays.origins[0, bb, p], np.float64)
+            d_b = np.asarray(rays.directions[0, bb, p], np.float64)
+            if marginal(o_b, d_b):           # bounce-hit decision marginal
+                ok = True
+                break
+        if not ok:
+            o_s = np.asarray(rays.origins[0, b + 1, p], np.float64)
+            ds = rxp - o_s
+            ds /= np.linalg.norm(ds)
+            ok = marginal(o_s, ds, window=1.0)   # shadow 1m-window marginal
+        if not ok:
+            unexplained.append(int(slot))
+    assert not unexplained, (
+        f"{len(unexplained)}/{flips.sum()} parity mask flips are not "
+        f"provably marginal: slots {unexplained[:10]}")

@@ -27,6 +27,11 @@ def test_large_scene_kernel_agreement(rng):
     t2, i2 = fn(jnp.asarray(o), jnp.asarray(d))
     agree = (np.asarray(i1) == np.asarray(i2)).mean()
     assert agree > 0.995
+    # flip taxonomy (VERDICT r1 weak #6): every disagreement must be a
+    # provable f32 tie or barycentric-edge case, not an arbitrary error
+    from tests.utils import assert_flips_explained
+    assert_flips_explained(soa, o, d, t1, i1, t2, i2,
+                           label="pallas vs jnp 6k soup")
 
 
 def test_large_scene_trace_uses_take_gather():
