@@ -57,6 +57,13 @@ class TracerConfig:
     # gather, "auto" = onehot_pallas for scenes up to 4096 padded triangles
     # under the pallas backend, onehot on the jnp backend, take beyond 4096.
     gather: str = "auto"
+    # Max rays per shadow-ray kernel query: the scatter pass batches all
+    # NRx * num_paths shadow rays into one nearest-hit call, whose expanded
+    # ray-feature operands scale with the ray count (16 RX x 1M rays would
+    # build ~4 GB of kernel operands).  Queries beyond this are split into
+    # equal RX groups run sequentially under lax.map — same results, bounded
+    # memory.
+    rx_query_rays: int = 1 << 22
     # Pallas intersection kernel precision:
     #   "exact1"  - full-f32-grade contraction in ONE native bf16 MXU pass:
     #               operands limb-split along the (otherwise padded) K axis,
@@ -73,13 +80,25 @@ class TracerConfig:
     # Visit-list walk kernel: a jnp prepass computes, per ray tile, the list
     # of triangle tiles any of its rays can conservatively reach (slab test
     # vs per-tile AABBs, honoring t_max), sorted near-to-far; the kernel
-    # walks exactly those tiles via scalar-prefetched BlockSpec indices with
-    # a running-best-t reach test, so distant tiles are neither DMA'd nor
-    # evaluated.  Bit-identical results (tie-breaks preserved under any
-    # visit order).  This is the hierarchical answer to the reference's
-    # ``TODO BVH`` (/root/reference/src/compute_paths.c:246).  Subsumes
-    # ``cull`` and honors ``compact_rays`` dead-ray hints.
-    walk: bool = False
+    # walks exactly those tiles with a running-best-t reach test, so distant
+    # tiles are neither fetched nor evaluated.  Bit-identical results
+    # (tie-breaks preserved under any visit order).  This is the
+    # hierarchical answer to the reference's ``TODO BVH``
+    # (/root/reference/src/compute_paths.c:246).  Subsumes ``cull`` and
+    # honors ``compact_rays`` dead-ray hints.  Values: False (off),
+    # True/"auto" (VMEM-resident G for small scenes, manual HBM DMA
+    # double-buffering beyond), "resident", "dma" (force a variant).
+    walk: "bool | str" = False
+    # Launch-direction assignment: "fibonacci" enumerates paths exactly like
+    # the reference (/root/reference/src/compute_paths.c:442-456 — adjacent
+    # path indices are ~2.4 rad apart in azimuth, so a 1024-ray kernel tile
+    # spans a whole polar band); "coherent" launches the SAME direction set
+    # but assigns indices in direction-Morton order, making every ray tile a
+    # narrow cone — tile visit lists shrink and the walk/culled kernels
+    # prune far more.  Outputs remain self-consistent (directions_tx reports
+    # each path's true direction); only the path <-> direction labelling
+    # differs from the reference, so parity suites use "fibonacci".
+    launch_order: str = "fibonacci"
     # Dead-ray skipping: hand the kernel t_max = -1 for inactive rays so the
     # culled kernel's reach test skips whole ray tiles that are entirely
     # dead.  Exact (a forced miss for a dead ray is semantically identical
@@ -118,6 +137,12 @@ class TracerConfig:
         if self.precision not in ("highest", "exact1", "bf16x2", "high"):
             raise ValueError("precision must be 'highest', 'exact1', "
                              f"'bf16x2' or 'high', got {self.precision!r}")
+        if self.walk not in (False, True, "auto", "resident", "dma"):
+            raise ValueError("walk must be False, True, 'auto', 'resident' "
+                             f"or 'dma', got {self.walk!r}")
+        if self.launch_order not in ("fibonacci", "coherent"):
+            raise ValueError("launch_order must be 'fibonacci' or "
+                             f"'coherent', got {self.launch_order!r}")
         if self.transmission and self.parity != "physical":
             raise ValueError("transmission=True requires parity='physical' "
                              "(the reference semantics zero blocked paths)")

@@ -354,6 +354,56 @@ def _tile_body_walk(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
     i_ref[...] = jnp.where(improve, tile_idx, best_i)
 
 
+def _kernel_walk_res(visit_ref, aabb_ref, g_ref, f_ref, od_ref,
+                     ex_ref, lim_ref, t_ref, i_ref, *,
+                     block_tris: int, precision, has_limit: bool):
+    """VMEM-resident visit-list walk for small scenes (grid = (nRT,)).
+
+    Same semantics as :func:`_kernel_walk` but the whole (pre-expanded) G
+    array lives in VMEM, so visited tiles are plain dynamic slices — no
+    manual DMA, no double buffer, no scratch.  For the 256-padded-triangle
+    canyon the expanded G is 256 KB; anything up to a few thousand triangles
+    fits comfortably, and the per-ray-tile near-to-far early-out (running
+    ``best_t`` against each tile's conservative entry distance) prunes most
+    tile evaluations — the reference's brute-force scan
+    (/root/reference/src/compute_paths.c:253-255) becomes output-sensitive.
+    """
+    t_ref[...] = jnp.full_like(t_ref, _BIG)
+    i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
+    row = jax.lax.rem(pl.program_id(0), 8)
+    n = visit_ref[row, 0]
+
+    f = f_ref[...]
+    od = od_ref[...]
+    d = od[0:3, :]
+    o = od[3:6, :]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    excl = ex_ref[...]
+    t_lim = lim_ref[...] if has_limit else None
+
+    def body(k, _):
+        j = visit_ref[row, k + 1]
+        lo = (aabb_ref[j, 0:3][:, None] - o) * inv
+        hi = (aabb_ref[j, 3:6][:, None] - o) * inv
+        t_near = jnp.max(jnp.minimum(lo, hi), axis=0, keepdims=True)
+        t_far = jnp.min(jnp.maximum(lo, hi), axis=0, keepdims=True)
+        if has_limit:
+            limit = jnp.minimum(t_ref[...], t_lim)
+        else:
+            limit = t_ref[...]
+        reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
+                 & (limit >= 0.0))
+
+        @pl.when(jnp.any(reach))
+        def _eval():
+            g_tile = g_ref[:, pl.ds(j * block_tris, block_tris), :]
+            _tile_body_walk(g_tile, f, excl, t_ref, i_ref, j,
+                            block_tris, precision, t_lim)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
 def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
                  ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, *,
                  block_tris: int, precision, has_limit: bool):
@@ -582,53 +632,76 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 (R,))
             lim = lim.at[0, :R].set(tm)
         visits = _walk_prepass(od, lim, aabbs, block_rays)
-        # The walk kernel's manual HBM->VMEM G copies need lane-128 slices
-        # (Mosaic DMA alignment), so G ships pre-expanded: exact1 -> bf16
-        # limb columns (cheap outside the kernel — G is T-sized, not
-        # R-sized; barriered split per the excess-precision hazard), other
+        # Both walk kernels take G and F pre-expanded: the DMA variant's
+        # manual HBM->VMEM G copies need lane-128 slices (Mosaic DMA
+        # alignment), and the fori-loop matmuls want layout-stable operands.
+        # exact1 -> bf16 limb columns (barriered split per the
+        # excess-precision hazard; G is T-sized and F R-sized — one extra
+        # [128, R] bf16 pass of HBM traffic, ~0.3 ms/M rays), other
         # precisions -> f32 zero-padded K lanes (zero lanes contribute 0).
         if precision == "exact1":
-            limbs = _split3_bf16(g)
-            g_walk = jnp.concatenate([limbs[i] for i, _ in _EXACT1_COMBOS],
-                                     axis=-1)
+            limbs_g = _split3_bf16(g)
+            g = jnp.concatenate([limbs_g[i] for i, _ in _EXACT1_COMBOS],
+                                axis=-1)
+            limbs_f = _split3_bf16(f)
+            f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS],
+                                axis=0)
         else:
-            g_walk = jnp.pad(g, ((0, 0), (0, 0), (0, 128 - g.shape[-1])))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, 128 - g.shape[-1])))
             f = jnp.pad(f, ((0, 128 - f.shape[0]), (0, 0)))
-        g = g_walk
         nfeat = f.shape[0]
-        kern = functools.partial(_kernel_walk, block_tris=block_tris,
-                                 precision=precision, has_limit=has_t_max)
+        # resident variant: the whole expanded G fits VMEM for small scenes
+        resident = walk == "resident" or (
+            walk in (True, "auto")
+            and 4 * t_pad * 128 * g.dtype.itemsize <= (4 << 20))
         row = lambda i: (0, i)
-        t_out, i_out = pl.pallas_call(
-            kern,
-            grid=(r_pad // block_rays,),
-            in_specs=[
-                pl.BlockSpec((8, visits.shape[1]), lambda i: (i // 8, 0),
-                             memory_space=pltpu.SMEM),  # count+visit rows
-                pl.BlockSpec(memory_space=pltpu.VMEM),          # aabbs
-                pl.BlockSpec(memory_space=pltpu.ANY),           # G (HBM)
-                pl.BlockSpec((nfeat, block_rays), row,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, block_rays), row,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays), row,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays), row,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, block_rays), row,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_rays), row,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((2, 4, block_tris, g.shape[-1]), g.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-        )(visits, aabbs, g, f, od, ex, lim)
+        common_in_specs = [
+            pl.BlockSpec((8, visits.shape[1]), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),      # count+visit rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # aabbs
+        ]
+        tail_in_specs = [
+            pl.BlockSpec((nfeat, block_rays), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_rays), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
+        ]
+        out_specs_walk = [
+            pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
+        ]
+        if resident:
+            kern = functools.partial(_kernel_walk_res, block_tris=block_tris,
+                                     precision=precision,
+                                     has_limit=has_t_max)
+            t_out, i_out = pl.pallas_call(
+                kern,
+                grid=(r_pad // block_rays,),
+                in_specs=common_in_specs
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)]   # G, whole
+                + tail_in_specs,
+                out_specs=out_specs_walk,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(visits, aabbs, g, f, od, ex, lim)
+        else:
+            kern = functools.partial(_kernel_walk, block_tris=block_tris,
+                                     precision=precision,
+                                     has_limit=has_t_max)
+            t_out, i_out = pl.pallas_call(
+                kern,
+                grid=(r_pad // block_rays,),
+                in_specs=common_in_specs
+                + [pl.BlockSpec(memory_space=pltpu.ANY)]    # G (HBM)
+                + tail_in_specs,
+                out_specs=out_specs_walk,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((2, 4, block_tris, g.shape[-1]), g.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+            )(visits, aabbs, g, f, od, ex, lim)
         t_r = t_out[0, :R]
         i_r = i_out[0, :R]
         return t_r, jnp.where(jnp.isfinite(t_r), i_r, -1)
@@ -675,7 +748,7 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      interpret: bool = False, precision: str = "highest",
                      t_max=None, cull: Optional[bool] = None,
                      exclude=None,
-                     walk: bool = False) -> Tuple[jax.Array, jax.Array]:
+                     walk=False) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -697,13 +770,13 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
         exclude, block_rays, block_tris, interpret, precision, bool(cull),
-        t_max is not None, walk=bool(walk))
+        t_max is not None, walk=walk)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
                           block_tris: int = 256, interpret=None,
                           precision: str = "highest", cull=None,
-                          walk: bool = False):
+                          walk=False):
     """Bind a scene into an ``intersect_fn(o, d, t_max=None) -> (t, idx)``
     closure.
 

@@ -225,6 +225,42 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     raise ValueError(cfg.backend)
 
 
+def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig):
+    """Shadow-ray nearest-hit over the flattened [NRx * R] axis, chunked over
+    RX groups so the kernel operands stay within HBM at large NRx.
+
+    ``so``/``ds`` are [NRx, R, 3]; ``t_max``/``excl`` flat [NRx * R] (or
+    None).  A single batched query is fastest, but its expanded ray-feature
+    operand scales with NRx * R (e.g. 16 RX x 1M rays -> 4 GB at bf16 limbs,
+    OOM on one chip — the reference never hits this because it walks rays
+    one at a time, /root/reference/src/compute_paths.c:666-723).  Groups are
+    the largest divisor of NRx keeping each query under ``cfg.rx_query_rays``
+    rays; the per-group queries run sequentially under ``lax.map``.
+    """
+    nrx, R = so.shape[0], so.shape[1]
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    c = max(1, cfg.rx_query_rays // R)          # rx rows per query
+    while nrx % c:
+        c -= 1
+    if c >= nrx:
+        return access.intersect(flat(so), flat(ds), t_max=t_max,
+                                exclude=excl)
+    G = nrx // c
+    grp = lambda x: None if x is None else x.reshape((G, -1))
+    tm_g, ex_g = grp(t_max), grp(excl)
+    xs = (so.reshape(G, c * R, 3), ds.reshape(G, c * R, 3)) \
+        + tuple(x for x in (tm_g, ex_g) if x is not None)
+
+    def one(args):
+        so_i, ds_i, rest = args[0], args[1], list(args[2:])
+        tm_i = rest.pop(0) if tm_g is not None else None
+        ex_i = rest.pop(0) if ex_g is not None else None
+        return access.intersect(so_i, ds_i, t_max=tm_i, exclude=ex_i)
+
+    t_o, idx_o = jax.lax.map(one, xs)
+    return t_o.reshape(-1), idx_o.reshape(-1)
+
+
 def _safe_norm(v):
     n2 = dot3(v, v)
     n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
@@ -437,10 +473,9 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         if cfg.compact_rays:
             hint = jnp.where(flat(live_b), jnp.float32(1e9),
                              jnp.float32(-1.0))
-            t_o, idx_o = access.intersect(flat(so), flat(ds), t_max=hint,
-                                          exclude=excl)
+            t_o, idx_o = _shadow_intersect(access, so, ds, hint, excl, cfg)
         else:
-            t_o, idx_o = access.intersect(flat(so), flat(ds), exclude=excl)
+            t_o, idx_o = _shadow_intersect(access, so, ds, None, excl, cfg)
         self_hit = flat(crossing & (t_self > jnp.float32(FLT_EPS)))
         closer = self_hit & (flat(t_self) < t_o)
         t_o = jnp.where(closer, flat(t_self), t_o)
@@ -451,8 +486,8 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         limit = flat(d2rx) - 2.0 * eps_o
         limit_q = (jnp.where(flat(live_b), limit, jnp.float32(-1.0))
                    if cfg.compact_rays else limit)
-        t_o, idx_o = access.intersect(flat(so) + eps_o * flat(ds),
-                                      flat(ds), t_max=limit_q, exclude=excl)
+        t_o, idx_o = _shadow_intersect(access, so + eps_o * ds, ds,
+                                       limit_q, excl, cfg)
         # in query coordinates the origin is a further eps_o along ds
         t_self_q = flat(t_self) - eps_o
         self_hit = (flat(crossing) & (t_self_q > jnp.float32(FLT_EPS))
@@ -684,7 +719,16 @@ def trace_paths(tris: TriangleSoA,
     k_dop = f_hz / SPEED_OF_LIGHT
 
     if launch_dirs is None:
-        launch_dirs = jnp.asarray(fibonacci_sphere(P))
+        dirs_np = fibonacci_sphere(P)
+        if cfg.launch_order == "coherent":
+            # same direction set, direction-Morton index assignment: kernel
+            # ray tiles become narrow cones instead of whole polar bands, so
+            # the walk/culled kernels' per-tile reach tests prune hard.
+            # Static (numpy) — zero runtime cost; directions_tx keeps every
+            # path self-consistent (see TracerConfig.launch_order).
+            from .scene.model import _morton_order
+            dirs_np = dirs_np[_morton_order(np.asarray(dirs_np))]
+        launch_dirs = jnp.asarray(dirs_np)
     eta = precompute_eta(materials, carrier_frequency_ghz)
     access = LocalSceneAccess(tris, intersect_fn, cfg, eta=eta)
 

@@ -29,9 +29,10 @@ def _assert_same(a, b):
     assert (ia == ib).all(), f"{(ia != ib).sum()} idx mismatches"
 
 
+@pytest.mark.parametrize("walk", ["resident", "dma"])
 @pytest.mark.parametrize("precision", ["highest", "exact1"])
 @pytest.mark.parametrize("block_tris", [32, 128])
-def test_walk_bit_exact_canyon(rng, precision, block_tris):
+def test_walk_bit_exact_canyon(rng, precision, block_tris, walk):
     tris = flatten_scene(load_hrt(CANYON))
     o, d = _rays(1024, rng)
     excl = jnp.asarray(rng.integers(-1, 234, 1024), jnp.int32)
@@ -39,22 +40,24 @@ def test_walk_bit_exact_canyon(rng, precision, block_tris):
                            interpret=True, precision=precision, exclude=excl)
     got = pallas_intersect(o, d, tris, block_rays=256, block_tris=block_tris,
                            interpret=True, precision=precision, exclude=excl,
-                           walk=True)
+                           walk=walk)
     _assert_same(ref, got)
 
 
-def test_walk_bit_exact_morton_soup(rng):
+@pytest.mark.parametrize("walk", ["resident", "dma"])
+def test_walk_bit_exact_morton_soup(rng, walk):
     tris = flatten_scene(random_soup_scene(900, seed=3, extent=50.0),
                          sort_triangles=True)
     o, d = _rays(512, rng, extent=60.0)
     ref = pallas_intersect(o, d, tris, block_rays=256, block_tris=128,
                            interpret=True, precision="highest")
     got = pallas_intersect(o, d, tris, block_rays=256, block_tris=128,
-                           interpret=True, precision="highest", walk=True)
+                           interpret=True, precision="highest", walk=walk)
     _assert_same(ref, got)
 
 
-def test_walk_t_max_and_dead_rays(rng):
+@pytest.mark.parametrize("walk", ["resident", "dma"])
+def test_walk_t_max_and_dead_rays(rng, walk):
     tris = flatten_scene(load_hrt(CANYON))
     R = 777  # ragged
     o, d = _rays(R, rng)
@@ -66,7 +69,7 @@ def test_walk_t_max_and_dead_rays(rng):
                            cull=True)
     got = pallas_intersect(o, d, tris, block_rays=256, block_tris=64,
                            interpret=True, precision="highest", t_max=tm,
-                           walk=True)
+                           walk=walk)
     _assert_same(ref, got)
     # dead rays (t_max < 0) report as misses
     t, idx = got
