@@ -43,10 +43,18 @@ def _split3_kernel(x):
 
 
 def _fwd_kernel(idx_ref, limbs_ref, out_ref, *, c: int):
+    """One-hot construction notes (found the hard way):
+
+    * ``value[0, :, None]`` integer indexing lowers to a lax.gather, which
+      Mosaic rejects ("Shape mismatch in input, indices and output") — the
+      index array ships as a [BLOCK_R, 1] column instead so the one-hot is a
+      plain broadcast compare against a lane iota.
+    * Contracting dimension 0 of the one-hot via dot_general crashed the TPU
+      compiler outright; both kernels use standard [M,K]@[K,N] matmuls.
+    """
     t = limbs_ref.shape[0]
-    idx = idx_ref[...]                                   # [1, BLOCK_R]
     iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, t), 1)
-    oh = (idx[0, :, None] == iota).astype(jnp.bfloat16)  # [BLOCK_R, T]
+    oh = (idx_ref[...] == iota).astype(jnp.bfloat16)     # [BLOCK_R, T]
     y = jnp.dot(oh, limbs_ref[...],
                 preferred_element_type=jnp.float32)      # [BLOCK_R, 3C]
     out_ref[...] = y[:, :c] + y[:, c:2 * c] + y[:, 2 * c:3 * c]
@@ -60,12 +68,13 @@ def _bwd_kernel(idx_ref, g_ref, out_ref, *, c: int):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     t = out_ref.shape[0]
-    idx = idx_ref[...]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, t), 1)
-    oh = (idx[0, :, None] == iota).astype(jnp.bfloat16)
+    # transposed one-hot [T, BLOCK_R]: idx ships as a [1, BLOCK_R] row here,
+    # broadcast against a sublane iota (see _fwd_kernel notes)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t, _BLOCK_R), 0)
+    oht = (idx_ref[...] == iota).astype(jnp.bfloat16)
     h1, h2, h3 = _split3_kernel(g_ref[...])              # [BLOCK_R, Cp] each
     gl = jnp.concatenate([h1, h2, h3], axis=-1)          # [BLOCK_R, 3Cp]
-    dy = jnp.dot(oh.T, gl, preferred_element_type=jnp.float32)
+    dy = jnp.dot(oht, gl, preferred_element_type=jnp.float32)
     cp = g_ref.shape[1]
     out_ref[...] += dy[:, :cp] + dy[:, cp:2 * cp] + dy[:, 2 * cp:3 * cp]
 
@@ -96,15 +105,15 @@ def _fetch_fwd(idx, table, interpret):
         functools.partial(_fwd_kernel, c=c),
         grid=(r_pad // _BLOCK_R,),
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_R), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # idx column
             pl.BlockSpec(memory_space=pltpu.VMEM),       # limbs whole
         ],
         out_specs=pl.BlockSpec((_BLOCK_R, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_pad, c), jnp.float32),
         interpret=interpret,
-    )(flat.reshape(1, -1), limbs)
+    )(flat.reshape(-1, 1), limbs)
     return out[:r].reshape(shape + (c,)), (idx, t, c)
 
 

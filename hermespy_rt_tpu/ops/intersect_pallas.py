@@ -579,10 +579,10 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
 @functools.partial(jax.jit,
                    static_argnames=("block_rays", "block_tris", "interpret",
                                     "precision", "cull", "has_t_max",
-                                    "walk"))
+                                    "walk", "pre_expand"))
 def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                            block_tris, interpret, precision, cull,
-                           has_t_max, walk=False):
+                           has_t_max, walk=False, pre_expand=False):
     R = o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -601,7 +601,16 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
     if exclude is not None:
         ex = ex.at[0, :R].set(
             jax.lax.stop_gradient(jnp.asarray(exclude, jnp.int32)))
-    # exact1 limb expansion happens INSIDE the kernel (see _expand_g_exact1)
+    # exact1 limb expansion happens INSIDE the kernel by default (operands
+    # cross HBM compact); pre_expand moves it to XLA land (barriered split) —
+    # ~256 MB/M-rays of extra bf16 HBM traffic buys back the per-tile VPU
+    # expansion, a net win for single-tile scenes where every grid step pays
+    # the in-kernel expansion exactly once per ray tile.
+    if pre_expand and precision == "exact1" and not walk:
+        limbs_g = _split3_bf16(g)
+        g = jnp.concatenate([limbs_g[i] for i, _ in _EXACT1_COMBOS], axis=-1)
+        limbs_f = _split3_bf16(f)
+        f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS], axis=0)
     nfeat = f.shape[0]
 
     grid = (r_pad // block_rays, t_pad // block_tris)
@@ -748,7 +757,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      interpret: bool = False, precision: str = "highest",
                      t_max=None, cull: Optional[bool] = None,
                      exclude=None,
-                     walk=False) -> Tuple[jax.Array, jax.Array]:
+                     walk=False,
+                     pre_expand: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -770,7 +780,7 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
         exclude, block_rays, block_tris, interpret, precision, bool(cull),
-        t_max is not None, walk=walk)
+        t_max is not None, walk=walk, pre_expand=pre_expand)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,

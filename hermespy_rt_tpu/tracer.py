@@ -127,10 +127,14 @@ class LocalSceneAccess:
             intersect_fn = _select_intersect(tris, cfg)
         self._intersect = intersect_fn
         small = tris.v0.shape[0] <= 4096
-        pallas_ok = cfg.backend in ("pallas", "auto")
         if cfg.gather == "auto":
-            self._gather = ("onehot_pallas" if small and pallas_ok
-                            else "onehot" if small else "take")
+            # "onehot" (XLA one-hot matmul) is the default: exact, and its
+            # backward is a matmul.  "onehot_pallas" (the VMEM-resident
+            # variant) is TPU-validated standalone (fwd exact, bwd ~1e-6 of
+            # the exact scatter; benchmarks/logs/probe_walk9.log) but crashes
+            # the remote TPU compiler when several instances are embedded in
+            # one unrolled-bounce grad graph — opt-in until that's resolved.
+            self._gather = "onehot" if small else "take"
         else:
             self._gather = cfg.gather
         self._onehot = self._gather in ("onehot", "onehot_pallas")
