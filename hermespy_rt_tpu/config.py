@@ -54,8 +54,9 @@ class TracerConfig:
     # per-triangle table (MXU, exact — the one-hot materialises in HBM),
     # "onehot_pallas" = same contraction inside a Pallas kernel with the
     # one-hot living only in VMEM (no HBM round-trip), "take" = plain XLA
-    # gather, "auto" = onehot_pallas for scenes up to 4096 padded triangles
-    # under the pallas backend, onehot on the jnp backend, take beyond 4096.
+    # gather.  "auto" selects "onehot" for scenes up to 4096 padded
+    # triangles and "take" beyond (see LocalSceneAccess.__init__ for the
+    # policy; "onehot_pallas" is opt-in).
     gather: str = "auto"
     # Max rays per shadow-ray kernel query: the scatter pass batches all
     # NRx * num_paths shadow rays into one nearest-hit call, whose expanded
@@ -77,6 +78,16 @@ class TracerConfig:
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
+    # backward implementation of the onehot hit-payload fetch:  "pallas"
+    # runs the scatter-add as a Pallas kernel with the one-hot in VMEM only
+    # (~0.5 ms vs ~3 ms per 1M-ray fetch); "xla" is the pure-XLA form (no
+    # extra Pallas calls in the grad graph — escape hatch for compiler
+    # limits).
+    fetch_bwd: str = "pallas"
+    # evaluate the four MT quantities (det/u/v/t) in ONE fused
+    # [4*TILE_T, K] @ [K, R] MXU pass instead of four separate dots —
+    # bit-identical results, fewer Mosaic pipeline steps.
+    fuse4: bool = False
     # Visit-list walk kernel: a jnp prepass computes, per ray tile, the list
     # of triangle tiles any of its rays can conservatively reach (slab test
     # vs per-tile AABBs, honoring t_max), sorted near-to-far; the kernel
@@ -143,6 +154,19 @@ class TracerConfig:
         if self.launch_order not in ("fibonacci", "coherent"):
             raise ValueError("launch_order must be 'fibonacci' or "
                              f"'coherent', got {self.launch_order!r}")
+        if self.launch_order == "coherent" and self.parity == "reference":
+            import warnings
+            warnings.warn(
+                "launch_order='coherent' relabels path <-> direction "
+                "assignments: outputs stay self-consistent but path-indexed "
+                "comparisons against the C reference will mismatch; parity "
+                "suites should use launch_order='fibonacci'.", stacklevel=2)
+        if self.fetch_bwd not in ("pallas", "xla"):
+            raise ValueError("fetch_bwd must be 'pallas' or 'xla', got "
+                             f"{self.fetch_bwd!r}")
+        if self.rx_query_rays <= 0:
+            raise ValueError("rx_query_rays must be > 0, got "
+                             f"{self.rx_query_rays}")
         if self.transmission and self.parity != "physical":
             raise ValueError("transmission=True requires parity='physical' "
                              "(the reference semantics zero blocked paths)")

