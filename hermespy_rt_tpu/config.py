@@ -78,12 +78,13 @@ class TracerConfig:
     precision: str = "highest"
     # per-tile AABB culling in the kernel (pays only for coherent ray sets)
     cull: bool = False
-    # backward implementation of the onehot hit-payload fetch:  "pallas"
-    # runs the scatter-add as a Pallas kernel with the one-hot in VMEM only
-    # (~0.5 ms vs ~3 ms per 1M-ray fetch); "xla" is the pure-XLA form (no
-    # extra Pallas calls in the grad graph — escape hatch for compiler
-    # limits).
-    fetch_bwd: str = "pallas"
+    # backward implementation of the onehot hit-payload fetch: "xla"
+    # (default — the pure-XLA one-hot^T matmul) or "pallas" (scatter-add
+    # kernel with the one-hot in VMEM).  Measured r3: the kernel loses
+    # in-graph (4.8 vs 3.2 ms per 1M-ray grad-fetch, probe_r3d) AND grad
+    # graphs embedding >~8 Pallas calls crash the TPU compiler helper
+    # (probe_r3c/d), so the kernel stays opt-in.
+    fetch_bwd: str = "xla"
     # evaluate the four MT quantities (det/u/v/t) in ONE fused
     # [4*TILE_T, K] @ [K, R] MXU pass instead of four separate dots —
     # bit-identical results, fewer Mosaic pipeline steps.
