@@ -7,8 +7,11 @@ SURVEY.md §3.2 cost model (num_bounces * num_tx * num_paths * (1 + num_rx)
 queries per trace), measured over a jitted forward+backward step (loss =
 scatter gain power, gradients w.r.t. the full material table).
 
-Prints ONE JSON line:
+Prints ONE JSON line for the driver (the 1-RX headline, comparable across
+rounds):
   {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+plus one line per extra RX count (nrx=4, 16 — shadow rays are
+(num_rx)/(1+num_rx) of all queries, /root/reference/src/compute_paths.c:666).
 
 vs_baseline is the speedup over the compiled single-thread C reference on
 this host's CPU (the only baseline that exists; the reference publishes no
@@ -28,6 +31,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 
+# Measured-fastest flags for this scene size (A/B rows in
+# benchmarks/README.md; probe_r3e/r3f logs):
+#  - exact1 fuse4: full-f32-grade intersection in one fused bf16 MXU pass
+#  - coherent launch + compact_rays: dead ray tiles skipped from bounce 1 on
+#  - grad_geometry=False: material grads bit-identical (tests/test_grad.py),
+#    geometric backward DCE'd
+#  - onehot_pallas + xla bwd: hit-payload fetch with the one-hot in VMEM
+BENCH_FLAGS = dict(backend="auto", keep_rays=False, precision="exact1",
+                   unroll_bounces=True, fuse4=True, compact_rays=True,
+                   launch_order="coherent", grad_geometry=False,
+                   gather="onehot_pallas", fetch_bwd="xla")
+
 
 def _scene():
     from hermespy_rt_tpu.scene import load_hrt, random_soup_scene
@@ -36,32 +51,28 @@ def _scene():
     return random_soup_scene(234, seed=0, extent=90.0, tri_size=8.0)
 
 
-def measure_tpu(num_paths=1 << 20, num_bounces=3, iters=8):
+def measure_tpu(num_paths=1 << 20, num_bounces=3, num_rx=1, iters=8):
     import jax
     import jax.numpy as jnp
     from hermespy_rt_tpu.config import TracerConfig
     from hermespy_rt_tpu.materials import default_materials
-    from hermespy_rt_tpu.ops.geometry import fibonacci_sphere
     from hermespy_rt_tpu.scene import flatten_scene
     from hermespy_rt_tpu.tracer import trace_paths
 
-    # exact1 (one-pass MXU kernel) keeps the HLO small enough that the
-    # unrolled 3-bounce grad graph compiles in ~40 s over the remote tunnel
-    # (vs minutes for the 6-pass f32 graph); unrolled avoids the scan
-    # backward's forward re-computation (~1.7x at 1M rays).
     cfg = TracerConfig(num_paths=num_paths, num_bounces=num_bounces,
-                       backend="auto", keep_rays=False,
-                       precision="exact1", unroll_bounces=True)
+                       **BENCH_FLAGS)
     tris = flatten_scene(_scene())
     mats = default_materials()
-    dirs = jnp.asarray(fibonacci_sphere(num_paths))
-    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    rx = (jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+          + jnp.arange(num_rx, dtype=jnp.float32)[:, None]
+          * jnp.asarray([[1.5, -2.0, 0.25]], jnp.float32))
     tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
-    zeros = jnp.zeros((1, 3), jnp.float32)
+    zrx = jnp.zeros((num_rx, 3), jnp.float32)
+    ztx = jnp.zeros((1, 3), jnp.float32)
 
     def loss_fn(mats):
-        res = trace_paths(tris, mats, rx, tx, zeros, zeros,
-                          jnp.float32(3.0), cfg, launch_dirs=dirs)
+        res = trace_paths(tris, mats, rx, tx, zrx, ztx,
+                          jnp.float32(3.0), cfg)
         return (jnp.sum(jnp.abs(res.scatter.a_te) ** 2)
                 + jnp.sum(jnp.abs(res.scatter.a_tm) ** 2)) * 1e9
 
@@ -75,7 +86,7 @@ def measure_tpu(num_paths=1 << 20, num_bounces=3, iters=8):
     jax.block_until_ready((loss, g))
     dt = (time.perf_counter() - t0) / iters
 
-    queries = num_bounces * 1 * num_paths * (1 + 1)  # B * ntx * P * (1+nrx)
+    queries = num_bounces * 1 * num_paths * (1 + num_rx)
     return queries / dt, dt, queries
 
 
@@ -98,7 +109,7 @@ def measure_c_reference(num_paths=20000, num_bounces=3):
 
 
 def main():
-    value, dt, queries = measure_tpu()
+    value, dt, queries = measure_tpu(num_rx=1)
     baseline = measure_c_reference() if os.path.exists(CANYON) else None
     vs = (value / baseline) if baseline else None
     print(json.dumps({
@@ -107,6 +118,17 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": vs,
     }))
+    for nrx in (4, 16):
+        try:
+            v, dt, q = measure_tpu(num_rx=nrx, iters=4)
+            print(json.dumps({
+                "metric": f"street_canyon_fwd_bwd_rays_per_s_per_chip_nrx{nrx}",
+                "value": v, "unit": "rays/s/chip",
+                "vs_baseline": (v / baseline) if baseline else None,
+            }))
+        except Exception as e:  # extra rows must never break the headline
+            print(json.dumps({"metric": f"nrx{nrx}", "error": str(e)[:200]}),
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

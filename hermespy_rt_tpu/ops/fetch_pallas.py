@@ -136,15 +136,18 @@ def pallas_scatter_add(idx, g, t, interpret=None):
                              g.reshape(-1, c), int(t), bool(interpret))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def pallas_onehot_fetch(idx, table, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_onehot_fetch(idx, table, interpret=False, bwd="pallas"):
     """``table[idx]`` (idx i32[...] clamped, table f32[T, C]) via the VMEM
-    one-hot kernel; differentiable w.r.t. ``table``."""
-    out, _ = _fetch_fwd(idx, table, interpret)
+    one-hot kernel; differentiable w.r.t. ``table``.  ``bwd`` selects the
+    scatter-add backward: "pallas" (one-hot in VMEM) or "xla" (pure-XLA
+    one-hot^T matmul — keeps Pallas calls out of the grad graph, the escape
+    hatch for the remote compiler's many-kernels-per-graph limit)."""
+    out, _ = _fetch_fwd(idx, table, interpret, bwd)
     return out
 
 
-def _fetch_fwd(idx, table, interpret):
+def _fetch_fwd(idx, table, interpret, bwd="pallas"):
     t, c = table.shape
     shape = idx.shape
     flat = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
@@ -173,7 +176,10 @@ def _fetch_fwd(idx, table, interpret):
     return out[:r].reshape(shape + (c,)), (idx, t, c)
 
 
-def _fetch_bwd(interpret, res, g):
+def _fetch_bwd(interpret, bwd, res, g):
+    if bwd == "xla":
+        from .fetch import _onehot_fetch_bwd_xla
+        return _onehot_fetch_bwd_xla(res, g)
     idx, t, c = res
     return None, pallas_scatter_add(idx, g, t, interpret)
 

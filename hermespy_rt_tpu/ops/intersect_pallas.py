@@ -801,7 +801,12 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             and 4 * t_pad * g.shape[-1] * g.dtype.itemsize <= (4 << 20))
         row = lambda i: (0, i)
         common_in_specs = [
-            pl.BlockSpec(memory_space=pl.ANY),          # visit rows (HBM)
+            # visit rows must be pinned to HBM: under pl.ANY Mosaic may
+            # place the (nRT, C) i32 array in VMEM when it fits, where the
+            # manual 1-row DMA slice violates the (8,128) sublane tiling
+            # ("Slice shape along dimension 0 must be aligned to tiling
+            # (8), but is 1" — the config5 131k-tri compile failure)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # aabbs
         ]
         tail_in_specs = [
@@ -843,7 +848,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                 kern,
                 grid=(r_pad // block_rays,),
                 in_specs=common_in_specs
-                + [pl.BlockSpec(memory_space=pl.ANY)]       # G (HBM)
+                + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # G
                 + tail_in_specs,
                 out_specs=out_specs_walk,
                 out_shape=out_shape,

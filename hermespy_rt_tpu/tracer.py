@@ -139,6 +139,7 @@ class LocalSceneAccess:
             self._gather = cfg.gather
         self._onehot = self._gather in ("onehot", "onehot_pallas")
         self._fetch_bwd = cfg.fetch_bwd
+        self._grad_geometry = cfg.grad_geometry
         self._table = None
         if eta is not None:
             mat = tris.material
@@ -185,22 +186,31 @@ class LocalSceneAccess:
             import jax as _jax
             from .ops.fetch_pallas import pallas_onehot_fetch
             return pallas_onehot_fetch(idx_safe, self._table,
-                                       _jax.default_backend() != "tpu")
+                                       _jax.default_backend() != "tpu",
+                                       self._fetch_bwd)
         from .ops.fetch import onehot_fetch
         return onehot_fetch(idx_safe, self._table, self._fetch_bwd)
 
     def fetch(self, idx_safe) -> Dict[str, jax.Array]:
-        """Per-hit triangle payload for already-clamped indices."""
+        """Per-hit triangle payload for already-clamped indices.
+
+        With ``cfg.grad_geometry=False`` the geometry columns come back
+        behind ``stop_gradient`` — material gradients are unchanged (the
+        eta chain never passes through geometry) and XLA DCE drops the
+        cross-bounce geometric backward (see TracerConfig.grad_geometry).
+        """
         row = self._rows(idx_safe)
-        out = dict(v0=row[..., 0:3], e1=row[..., 3:6], e2=row[..., 6:9],
-                   normal=row[..., 9:12], velocity=row[..., 12:15])
+        geo = row if self._grad_geometry else jax.lax.stop_gradient(row)
+        out = dict(v0=geo[..., 0:3], e1=geo[..., 3:6], e2=geo[..., 6:9],
+                   normal=geo[..., 9:12], velocity=geo[..., 12:15])
         out["eta"] = EtaPrecomputed(**{
             f: row[..., _GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
         return out
 
     def normal_at(self, idx_safe):
         if self._table is not None:
-            return self._rows(idx_safe)[..., 9:12]
+            n = self._rows(idx_safe)[..., 9:12]
+            return n if self._grad_geometry else jax.lax.stop_gradient(n)
         return self.tris.normal[idx_safe]
 
 

@@ -216,3 +216,34 @@ def test_carrier_frequency_grads_vs_fd(reflector_tris):
     assert np.isfinite(g)
     assert abs(g - fd) / scale < 0.05, f"f_ghz: grad {g} vs fd {fd}"
     assert abs(g) > 0
+
+
+def test_grad_geometry_false_material_grads_identical(reflector_tris):
+    """grad_geometry=False must produce BIT-IDENTICAL material gradients
+    (the eta chain never passes through geometry; stop-gradding the
+    geometric payload only lets XLA DCE the cross-bounce backward), while
+    zeroing vertex gradients."""
+    tris = reflector_tris
+    mats = default_materials()
+    cfg_ng = dataclasses.replace(CFG, grad_geometry=False)
+
+    def loss(m, cfg):
+        res = trace_paths(tris, m, RX, TX, Z, Z, 3.0, cfg)
+        return (jnp.sum(jnp.abs(res.scatter.a_te) ** 2)
+                + jnp.sum(jnp.abs(res.scatter.a_tm) ** 2)) * 1e6
+
+    v1, g1 = jax.value_and_grad(loss)(mats, CFG)
+    v2, g2 = jax.value_and_grad(loss)(mats, cfg_ng)
+    assert float(v1) == float(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # vertex gradients are zeroed (documented trade) under grad_geometry=False
+    def loss_v(v0):
+        t2 = dataclasses.replace(tris, v0=v0)
+        res = trace_paths(t2, mats, RX, TX, Z, Z, 3.0, cfg_ng)
+        return jnp.sum(jnp.abs(res.scatter.a_te) ** 2) * 1e6
+
+    gv = jax.grad(loss_v)(tris.v0)
+    assert not np.asarray(gv).any()
