@@ -59,8 +59,12 @@ def _traced(tris, materials, rx_pos, tx_pos, rx_vel, tx_vel, f_ghz,
 
 
 @lru_cache(maxsize=64)
-def _cached_dirs(num_paths: int):
-    return jnp.asarray(fibonacci_sphere(num_paths))
+def _cached_dirs(num_paths: int, order: str = "fibonacci"):
+    dirs = fibonacci_sphere(num_paths)
+    if order == "coherent":
+        from .scene.model import _morton_order
+        dirs = dirs[_morton_order(np.asarray(dirs))]
+    return jnp.asarray(dirs)
 
 
 def trace(scene: SceneLike,
@@ -73,7 +77,16 @@ def trace(scene: SceneLike,
     :func:`hermespy_rt_tpu.tracer.trace_paths` if you need custom transforms).
     """
     cfg = config or TracerConfig()
-    tris = prepare_scene(scene)
+    # measured policy: Morton-sort triangles for non-parity configs at scale
+    # (tight kernel-tile AABBs feed the walk/culled kernels; parity runs
+    # keep file order — the reference's exact-tie nearest hit follows it)
+    if not isinstance(scene, TriangleSoA):
+        host = scene if isinstance(scene, HostScene) else load_scene(scene)
+        n_tris = sum(m.indices.shape[0] for m in host.meshes)
+        scene = flatten_scene(
+            host, sort_triangles=(cfg.parity != "reference"
+                                  and n_tris >= 4096))
+    tris = scene
     mats = materials if materials is not None else default_materials()
     rx_pos = jnp.asarray(rx_positions, jnp.float32).reshape(-1, 3)
     tx_pos = jnp.asarray(tx_positions, jnp.float32).reshape(-1, 3)
@@ -82,7 +95,8 @@ def trace(scene: SceneLike,
     tx_vel = (jnp.zeros_like(tx_pos) if tx_velocities is None
               else jnp.asarray(tx_velocities, jnp.float32).reshape(-1, 3))
     return _traced(tris, mats, rx_pos, tx_pos, rx_vel, tx_vel,
-                   jnp.float32(carrier_frequency), _cached_dirs(cfg.num_paths),
+                   jnp.float32(carrier_frequency),
+                   _cached_dirs(cfg.num_paths, cfg.resolved_launch_order),
                    cfg)
 
 

@@ -97,20 +97,26 @@ class TracerConfig:
     # (tie-breaks preserved under any visit order).  This is the
     # hierarchical answer to the reference's ``TODO BVH``
     # (/root/reference/src/compute_paths.c:246).  Subsumes ``cull`` and
-    # honors ``compact_rays`` dead-ray hints.  Values: False (off),
-    # True/"auto" (VMEM-resident G for small scenes, manual HBM DMA
+    # honors ``compact_rays`` dead-ray hints.  Values: "auto" (the default —
+    # ON for scenes of >= 4096 padded triangles, the measured brute/walk
+    # crossover: the walk won 10x at 131k triangles and lost ~20% on the
+    # 256-triangle canyon, benchmarks/logs/probe_walk7/10), False (off),
+    # True (on; VMEM-resident G for small scenes, manual HBM DMA
     # double-buffering beyond), "resident", "dma" (force a variant).
-    walk: "bool | str" = False
+    walk: "bool | str" = "auto"
     # Launch-direction assignment: "fibonacci" enumerates paths exactly like
     # the reference (/root/reference/src/compute_paths.c:442-456 — adjacent
     # path indices are ~2.4 rad apart in azimuth, so a 1024-ray kernel tile
     # spans a whole polar band); "coherent" launches the SAME direction set
     # but assigns indices in direction-Morton order, making every ray tile a
-    # narrow cone — tile visit lists shrink and the walk/culled kernels
-    # prune far more.  Outputs remain self-consistent (directions_tx reports
-    # each path's true direction); only the path <-> direction labelling
-    # differs from the reference, so parity suites use "fibonacci".
-    launch_order: str = "fibonacci"
+    # narrow cone — tile visit lists shrink, dead rays die in tighter index
+    # bands, and the walk/culled kernels prune far more (+5-8% e2e on the
+    # canyon, probe_r3e).  Outputs remain self-consistent (directions_tx
+    # reports each path's true direction); only the path <-> direction
+    # labelling differs from the reference, so parity suites use
+    # "fibonacci".  "auto" (default): "fibonacci" under parity="reference"
+    # (path-indexed golden comparisons stay valid), "coherent" otherwise.
+    launch_order: str = "auto"
     # Dead-ray skipping: hand the kernel t_max = -1 for inactive rays so the
     # culled kernel's reach test skips whole ray tiles that are entirely
     # dead.  Exact (a forced miss for a dead ray is semantically identical
@@ -124,6 +130,15 @@ class TracerConfig:
     # obstacle's ITU transmission coefficients (eqs. 31c/31d — the extension
     # the reference left as TODO) instead of zeroed.  Nearest blocker only.
     transmission: bool = False
+    # Backward rematerialisation policy for the bounce step: "none" saves
+    # whatever XLA decides (every fusion boundary becomes a forward-pass HBM
+    # materialisation kept for the backward); "hits" checkpoints each bounce
+    # saving ONLY the intersection decisions and fetched payload rows
+    # (tagged via checkpoint_name) — the elementwise shading recomputes
+    # inside the backward, where it fuses with the cotangent math instead of
+    # round-tripping residuals through HBM.  The Pallas kernels are never
+    # re-run (their outputs are exactly the saved names).
+    remat: str = "none"
     # Differentiability scope: True (default) keeps every fetched triangle
     # quantity differentiable (gradients flow to scene vertices, normals and
     # mesh velocities through the bounce chain).  False marks the *geometry*
@@ -146,6 +161,14 @@ class TracerConfig:
     # keeps num_paths / 2**num_bounces rays.
     spawn_transmission: bool = False
 
+    @property
+    def resolved_launch_order(self) -> str:
+        """'auto' -> 'fibonacci' under parity='reference' (path-indexed
+        golden comparisons stay valid), 'coherent' otherwise."""
+        if self.launch_order != "auto":
+            return self.launch_order
+        return "fibonacci" if self.parity == "reference" else "coherent"
+
     def __post_init__(self):
         if self.parity not in ("reference", "physical"):
             raise ValueError(f"parity must be 'reference' or 'physical', got {self.parity!r}")
@@ -153,6 +176,9 @@ class TracerConfig:
             raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
         if self.num_paths <= 0 or self.num_bounces <= 0:
             raise ValueError("num_paths and num_bounces must be > 0")
+        if self.remat not in ("none", "hits"):
+            raise ValueError(f"remat must be 'none' or 'hits', got "
+                             f"{self.remat!r}")
         if self.scan_remat not in ("save_all", "recompute"):
             raise ValueError(f"scan_remat must be 'save_all' or 'recompute',"
                              f" got {self.scan_remat!r}")
@@ -165,8 +191,8 @@ class TracerConfig:
         if self.walk not in (False, True, "auto", "resident", "dma"):
             raise ValueError("walk must be False, True, 'auto', 'resident' "
                              f"or 'dma', got {self.walk!r}")
-        if self.launch_order not in ("fibonacci", "coherent"):
-            raise ValueError("launch_order must be 'fibonacci' or "
+        if self.launch_order not in ("auto", "fibonacci", "coherent"):
+            raise ValueError("launch_order must be 'auto', 'fibonacci' or "
                              f"'coherent', got {self.launch_order!r}")
         if self.launch_order == "coherent" and self.parity == "reference":
             import warnings

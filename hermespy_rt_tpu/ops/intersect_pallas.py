@@ -408,13 +408,18 @@ def _visit_row_dma(v_hbm, vrow, vsem):
     across grid steps.  Visit lists used to ship as a whole SMEM *operand*,
     which Mosaic stages twice in full regardless of the block spec — 2 x
     512 KB at 1M rays blew the 1 MB SMEM budget (the r2
-    ``tpu_compile_helper`` SMEM OOM, benchmarks/logs/breakdown_r2.log).  A
-    per-row copy costs ~0.5 KB per step and scales to any ray count."""
+    ``tpu_compile_helper`` SMEM OOM, benchmarks/logs/breakdown_r2.log).
+
+    ``v_hbm`` is [nRT, S, 128] (each ray tile's row reshaped to S full
+    (8,128) sublane tiles): slicing ONE ray tile then moves whole tiles —
+    a (1, C) slice of a 2D (8,128)-tiled array is rejected by Mosaic
+    ("Slice shape along dimension 0 must be aligned to tiling (8)", the
+    crash that killed every e2e walk compile in probe_walk8-10)."""
     i = pl.program_id(0)
 
     def vdma(slot, r):
-        return pltpu.make_async_copy(v_hbm.at[pl.ds(r, 1), :],
-                                     vrow.at[pl.ds(slot, 1), :],
+        return pltpu.make_async_copy(v_hbm.at[pl.ds(r, 1)],
+                                     vrow.at[pl.ds(slot, 1)],
                                      vsem.at[slot])
 
     @pl.when(i == 0)
@@ -431,14 +436,19 @@ def _visit_row_dma(v_hbm, vrow, vsem):
     return slot
 
 
+def _visit_entry(vrow, slot, p):
+    """Flat visit-row element ``p`` from the (2, S, 128) SMEM buffer."""
+    return vrow[slot, p // 128, jax.lax.rem(p, 128)]
+
+
 def _visit_tile(vrow, slot, kk, group: int):
     """Fine tile id for flat walk index ``kk``: visit entries are COARSE
     groups of ``group`` consecutive fine tiles (the hierarchical prepass
     level); group == 1 degenerates to flat tile ids."""
     if group == 1:
-        return vrow[slot, kk + 1]
+        return _visit_entry(vrow, slot, kk + 1)
     k = kk // group
-    return vrow[slot, k + 1] * group + (kk - k * group)
+    return _visit_entry(vrow, slot, k + 1) * group + (kk - k * group)
 
 
 def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
@@ -459,7 +469,7 @@ def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
     t_ref[...] = jnp.full_like(t_ref, _BIG)
     i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
     slot = _visit_row_dma(v_hbm, vrow, vsem)
-    n = vrow[slot, 0]
+    n = _visit_entry(vrow, slot, 0)
 
     f = f_ref[...]
     od = od_ref[...]
@@ -515,7 +525,7 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, f_ref, od_ref,
     t_ref[...] = jnp.full_like(t_ref, _BIG)
     i_ref[...] = jnp.full_like(i_ref, jnp.int32(2**31 - 1))
     slot = _visit_row_dma(v_hbm, vrow, vsem)
-    n = vrow[slot, 0]
+    n = _visit_entry(vrow, slot, 0)
 
     def get_dma(gslot, kk):
         j = _visit_tile(vrow, slot, kk, group)
@@ -623,14 +633,16 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
     kk = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (n_rt, n_ent), 1),
                      jnp.maximum(count - 1, 0)[:, None])
     visit = jnp.take_along_axis(order, kk, axis=1)
-    # one array: col 0 = count, cols 1.. = visit list; rows padded to a
-    # multiple of 8 and cols to a multiple of 128 (lane-aligned row DMAs)
-    c_pad = _round_up(1 + n_ent, 128)
-    r8 = _round_up(n_rt, 8)
-    packed = jnp.zeros((r8, c_pad), jnp.int32)
-    packed = packed.at[:n_rt, 0].set(count)
-    packed = packed.at[:n_rt, 1:1 + n_ent].set(visit)
-    return packed
+    # pack as [nRT, S, 128]: flat element 0 = count, 1.. = visit list.  Each
+    # ray tile's row is S whole (8,128) sublane tiles, so the kernel's 1-row
+    # DMA slice moves complete tiles — a flat (1, C) slice of a 2D tiled
+    # array violates Mosaic's 8-sublane alignment (the probe_walk8-10 /
+    # config5 compile killer).
+    s_tiles = _round_up(-(-(1 + n_ent) // 128), 8)
+    packed = jnp.zeros((n_rt, s_tiles * 128), jnp.int32)
+    packed = packed.at[:, 0].set(count)
+    packed = packed.at[:, 1:1 + n_ent].set(visit)
+    return packed.reshape(n_rt, s_tiles, 128)
 
 
 _PRECISIONS = ("highest", "exact1", "bf16x2", "high")
@@ -820,7 +832,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
         ]
         visit_scratch = [
-            pltpu.SMEM((2, visits.shape[1]), jnp.int32),   # visit row buf
+            pltpu.SMEM((2,) + visits.shape[1:], jnp.int32),  # visit row buf
             pltpu.SemaphoreType.DMA((2,)),
         ]
         if resident:

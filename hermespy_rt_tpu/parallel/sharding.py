@@ -192,7 +192,11 @@ def trace_paths_sharded(tris: TriangleSoA,
     k_dop = f_hz / SPEED_OF_LIGHT
 
     if launch_dirs is None:
-        launch_dirs = jnp.asarray(fibonacci_sphere(P_))
+        dirs_np = fibonacci_sphere(P_)
+        if cfg.resolved_launch_order == "coherent":
+            from ..scene.model import _morton_order
+            dirs_np = dirs_np[_morton_order(np.asarray(dirs_np))]
+        launch_dirs = jnp.asarray(dirs_np)
     eta = precompute_eta(materials, carrier_frequency_ghz)
 
     # LoS is O(nrx*ntx) — replicated, outside the shard_map.

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name
+
 from .config import TracerConfig
 from .materials import MaterialTable
 from .ops.fresnel import EtaPrecomputed, precompute_eta, refl_coefs
@@ -185,11 +187,13 @@ class LocalSceneAccess:
         if self._gather == "onehot_pallas":
             import jax as _jax
             from .ops.fetch_pallas import pallas_onehot_fetch
-            return pallas_onehot_fetch(idx_safe, self._table,
-                                       _jax.default_backend() != "tpu",
-                                       self._fetch_bwd)
+            row = pallas_onehot_fetch(idx_safe, self._table,
+                                      _jax.default_backend() != "tpu",
+                                      self._fetch_bwd)
+            return checkpoint_name(row, "payload")
         from .ops.fetch import onehot_fetch
-        return onehot_fetch(idx_safe, self._table, self._fetch_bwd)
+        row = onehot_fetch(idx_safe, self._table, self._fetch_bwd)
+        return checkpoint_name(row, "payload")
 
     def fetch(self, idx_safe) -> Dict[str, jax.Array]:
         """Per-hit triangle payload for already-clamped indices.
@@ -231,6 +235,14 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
     if cfg.backend in ("pallas", "auto"):
         from .ops.intersect_pallas import make_pallas_intersect
         try:
+            # walk="auto" encodes the measured brute/walk crossover: the
+            # visit-list walk won 10x at 131k triangles and lost ~20% on the
+            # 256-padded-triangle canyon (probe_walk7/10) — enable it from
+            # 4096 padded triangles up, where per-ray-tile pruning beats the
+            # brute scan's whole-scene MXU sweep.
+            walk = cfg.walk
+            if walk == "auto":
+                walk = True if tris.v0.shape[0] >= 4096 else False
             # dead-ray compaction no longer implies the culled kernel: the
             # brute kernel skips wholly-dead ray tiles via liveness flags
             # (cheaper than per-tile slab tests on small scenes); cull/walk
@@ -238,8 +250,8 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
             return make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                          block_tris=cfg.block_tris,
                                          precision=cfg.precision,
-                                         cull=cfg.cull and not cfg.walk,
-                                         walk=cfg.walk, fuse4=cfg.fuse4)
+                                         cull=cfg.cull and not walk,
+                                         walk=walk, fuse4=cfg.fuse4)
         except Exception:
             if cfg.backend == "pallas":
                 raise
@@ -408,6 +420,10 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     else:
         _, idx = access.intersect(o, d, exclude=pidx)
     idx = jax.lax.stop_gradient(idx)
+    # named residual: under cfg.remat="hits" the bounce checkpoint saves
+    # exactly the kernel decisions + payload rows, so the backward never
+    # re-runs a Pallas call while all elementwise shading recomputes in-place
+    idx = checkpoint_name(idx, "hit")
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
 
@@ -496,8 +512,9 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         # occlusion test still uses t <= 1, i.e. only blockers within 1 metre
         # count (/root/reference/src/compute_paths.c:678-683).
         lv = flat(live_b) if cfg.compact_rays else None
-        t_o, idx_o = _shadow_intersect(access, so, ds, None, excl, cfg,
-                                       live=lv)
+        t_o, idx_o = checkpoint_name(
+            _shadow_intersect(access, so, ds, None, excl, cfg, live=lv),
+            "hit")
         self_hit = flat(crossing & (t_self > jnp.float32(FLT_EPS)))
         closer = self_hit & (flat(t_self) < t_o)
         t_o = jnp.where(closer, flat(t_self), t_o)
@@ -507,8 +524,9 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         eps_o = jnp.float32(cfg.occlusion_offset)
         limit = flat(d2rx) - 2.0 * eps_o
         lv = flat(live_b) if cfg.compact_rays else None
-        t_o, idx_o = _shadow_intersect(access, so + eps_o * ds, ds,
-                                       limit, excl, cfg, live=lv)
+        t_o, idx_o = checkpoint_name(
+            _shadow_intersect(access, so + eps_o * ds, ds, limit, excl,
+                              cfg, live=lv), "hit")
         # in query coordinates the origin is a further eps_o along ds
         t_self_q = flat(t_self) - eps_o
         self_hit = (flat(crossing) & (t_self_q > jnp.float32(FLT_EPS))
@@ -664,7 +682,15 @@ def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
     step = partial(bounce_step, access=access, rx_pos=rx_pos,
                    fslm=fslm, k_dop=k_dop, cfg=cfg)
     B = cfg.num_bounces
-    if not cfg.unroll_bounces and cfg.scan_remat == "save_all":
+    if cfg.remat == "hits":
+        # save ONLY the named residuals (kernel hit decisions + fetched
+        # payload rows): the backward recomputes the elementwise shading
+        # in-place — no Pallas call re-runs, far fewer forward-pass HBM
+        # residual materialisations (see TracerConfig.remat)
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.save_only_these_names(
+                "hit", "payload"))
+    elif not cfg.unroll_bounces and cfg.scan_remat == "save_all":
         # scan's default backward re-runs the body (including the
         # intersection kernels) to rebuild residuals; saving everything
         # trades HBM for that recompute — measured ~1.7x on fwd+bwd at 1M
@@ -741,7 +767,7 @@ def trace_paths(tris: TriangleSoA,
 
     if launch_dirs is None:
         dirs_np = fibonacci_sphere(P)
-        if cfg.launch_order == "coherent":
+        if cfg.resolved_launch_order == "coherent":
             # same direction set, direction-Morton index assignment: kernel
             # ray tiles become narrow cones instead of whole polar bands, so
             # the walk/culled kernels' per-tile reach tests prune hard.
