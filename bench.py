@@ -36,12 +36,13 @@ CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 #  - exact1 fuse4: full-f32-grade intersection in one fused bf16 MXU pass
 #  - coherent launch + compact_rays: dead ray tiles skipped from bounce 1 on
 #  - grad_geometry=False: material grads bit-identical (tests/test_grad.py),
-#    geometric backward DCE'd
-#  - onehot_pallas + xla bwd: hit-payload fetch with the one-hot in VMEM
+#    geometric backward DCE'd (117 -> 142 Mq/s, probe_r3f)
+#  (gather="onehot_pallas" measured 5x SLOWER in-graph — probe_r3f — the
+#  XLA one-hot matmul stays the default via gather="auto")
 BENCH_FLAGS = dict(backend="auto", keep_rays=False, precision="exact1",
                    unroll_bounces=True, fuse4=True, compact_rays=True,
                    launch_order="coherent", grad_geometry=False,
-                   gather="onehot_pallas", fetch_bwd="xla")
+                   fetch_bwd="xla")
 
 
 def _scene():

@@ -60,8 +60,7 @@ import warnings
 warnings.filterwarnings("ignore")
 BASE = dict(unroll_bounces=True, fuse4=True, compact_rays=True,
             launch_order="coherent")
-BEST = dict(grad_geometry=False, gather="onehot_pallas", fetch_bwd="xla",
-            **BASE)
+BEST = dict(grad_geometry=False, fetch_bwd="xla", **BASE)
 e2e("remat only", remat="hits", **BASE)
 e2e("best + remat", remat="hits", **BEST)
 e2e("best + remat scan", remat="hits", unroll_bounces=False,
@@ -69,6 +68,8 @@ e2e("best + remat scan", remat="hits", unroll_bounces=False,
 e2e("best fwd-only (floor)", fwd_only=True,
     **{k: v for k, v in BEST.items() if k not in ("grad_geometry",
                                                   "fetch_bwd")})
+e2e("best + remat B=8", remat="hits", B=8, iters=4, **BEST)
+e2e("best + remat P=4M", remat="hits", P=1 << 22, iters=4, **BEST)
 # profiler shot of the winner (best + remat assumed; re-measured inline)
 step = make_step(remat="hits", **BEST)
 try:
