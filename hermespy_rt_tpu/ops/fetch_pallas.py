@@ -56,21 +56,25 @@ def _split3_kernel(x):
 
 
 def _fwd_kernel(idx_ref, limbs_ref, out_ref, *, t: int):
-    """One-hot construction notes (found the hard way):
+    """Transposed-layout one-hot fetch: everything stays in its natural
+    (lane = rays) layout.
 
-    * ``value[0, :, None]`` integer indexing lowers to a lax.gather, which
-      Mosaic rejects ("Shape mismatch in input, indices and output") — the
-      index array ships as a [BLOCK_R, 1] column instead so the one-hot is a
-      plain broadcast compare against a lane iota.
-    * Contracting dimension 0 of the one-hot via dot_general crashed the TPU
-      compiler outright; both kernels use standard [M,K]@[K,N] matmuls.
-    * The selector matches ``lane_iota mod t`` so each ray row selects all
-      three limb rows of its entry in one pass (module docstring).
-    """
-    t3 = limbs_ref.shape[0]                              # 3T
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, t3), 1)
-    oh = (idx_ref[...] == jax.lax.rem(iota, t)).astype(jnp.bfloat16)
-    out_ref[...] = jnp.dot(oh, limbs_ref[...],
+    The first version shipped ``idx`` as a [BLOCK_R, 1] *column* block and
+    built a [BLOCK_R, 3T] one-hot against ``lane_iota mod t`` — the column
+    operand relayouts on every grid step and the integer ``rem`` over
+    BLOCK_R x 3T elements is VPU-serial; measured ~26 ms per 1M-ray fetch
+    when embedded in the e2e graph (probe_r3f).  Here ``idx`` ships as a
+    [1, BLOCK_R] ROW, the transposed one-hot comes from a sublane iota
+    (``tri_iota[k] == idx[r]``, no rem: the iota is three stacked [T]
+    ranges — a cheap sublane concat, no rem — matching the row-stacked
+    limb groups), and one pre-transposed ``[C, 3T] @ [3T, BLOCK_R]`` bf16
+    pass sums the three limbs of the selected entry in the f32 accumulator
+    — exact.  Output is [C, R] (rays on lanes, the same physical layout
+    XLA gives an [R, C] array)."""
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, _BLOCK_R), 0)
+    iota3 = jnp.concatenate([iota_t, iota_t, iota_t], axis=0)  # [3T, B]
+    oht = (idx_ref[...] == iota3).astype(jnp.bfloat16)
+    out_ref[...] = jnp.dot(limbs_ref[...], oht,
                            preferred_element_type=jnp.float32)
 
 
@@ -156,24 +160,28 @@ def _fetch_fwd(idx, table, interpret, bwd="pallas"):
     if r_pad > r:
         flat = jnp.pad(flat, (0, r_pad - r))
     # the table limb split runs in XLA land where xla_allow_excess_precision
-    # can elide the convert round-trips — use the barriered split; limbs are
-    # stacked along ROWS ([3T, C]) so the kernel never slices lanes
+    # can elide the convert round-trips — use the barriered split; limbs
+    # ship pre-transposed ([C, 3T], limb groups stacked on the LANE axis at
+    # T-multiples: T is a multiple of 128, so no sub-tile lane slicing ever
+    # happens in-kernel)
     from .fetch import _split3_bf16
-    limbs = jnp.concatenate(_split3_bf16(table), axis=0)   # [3T, C] bf16
+    limbs = jnp.concatenate(_split3_bf16(table.T), axis=-1)  # [C, 3T] bf16
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, t=t),
         grid=(r_pad // _BLOCK_R,),
         in_specs=[
-            pl.BlockSpec((_BLOCK_R, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),       # idx column
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # limbs whole
+            pl.BlockSpec((1, _BLOCK_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),       # idx row
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # limbsT whole
         ],
-        out_specs=pl.BlockSpec((_BLOCK_R, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((c, _BLOCK_R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, r_pad), jnp.float32),
         interpret=interpret,
-    )(flat.reshape(-1, 1), limbs)
-    return out[:r].reshape(shape + (c,)), (idx, t, c)
+    )(flat.reshape(1, -1), limbs)
+    # [C, R] -> [R, C]: a logical transpose only — XLA's [R, C] layout puts
+    # R on lanes already, so this is a bitcast, not a relayout
+    return out[:, :r].T.reshape(shape + (c,)), (idx, t, c)
 
 
 def _fetch_bwd(interpret, bwd, res, g):
