@@ -37,12 +37,13 @@ CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 #  - coherent launch + compact_rays: dead ray tiles skipped from bounce 1 on
 #  - grad_geometry=False: material grads bit-identical (tests/test_grad.py),
 #    geometric backward DCE'd (117 -> 142 Mq/s, probe_r3f)
-#  (gather="onehot_pallas" measured 5x SLOWER in-graph — probe_r3f — the
-#  XLA one-hot matmul stays the default via gather="auto")
+#  - gather="onehot_pallas": the transposed-layout VMEM one-hot fetch
+#    (142 -> 175 Mq/s, probe_r3j; the first-layout kernel measured 5x
+#    SLOWER — probe_r3f — before the rays-on-lanes rewrite)
 BENCH_FLAGS = dict(backend="auto", keep_rays=False, precision="exact1",
                    unroll_bounces=True, fuse4=True, compact_rays=True,
                    launch_order="coherent", grad_geometry=False,
-                   fetch_bwd="xla")
+                   gather="onehot_pallas", fetch_bwd="xla")
 
 
 def _scene():

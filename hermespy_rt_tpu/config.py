@@ -130,6 +130,15 @@ class TracerConfig:
     # obstacle's ITU transmission coefficients (eqs. 31c/31d — the extension
     # the reference left as TODO) instead of zeroed.  Nearest blocker only.
     transmission: bool = False
+    # Bounce-shading implementation: "xla" runs the per-ray reflection math
+    # (hit-distance recompute, Fresnel, amplitude update, specular step) as
+    # jnp ops — many XLA loop fusions whose intermediates round-trip HBM;
+    # "pallas" fuses the whole chain into one VPU kernel per 4096-ray tile
+    # (ops/shade.py) with a jnp-vjp backward — bit-identical forward values,
+    # gradients exactly those of the jnp path.  "pallas" requires the local
+    # (non-tri-sharded) scene access and no spawn_transmission; it falls
+    # back to "xla" otherwise.
+    shade: str = "xla"
     # Backward rematerialisation policy for the bounce step: "none" saves
     # whatever XLA decides (every fusion boundary becomes a forward-pass HBM
     # materialisation kept for the backward); "hits" checkpoints each bounce
@@ -176,6 +185,9 @@ class TracerConfig:
             raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
         if self.num_paths <= 0 or self.num_bounces <= 0:
             raise ValueError("num_paths and num_bounces must be > 0")
+        if self.shade not in ("xla", "pallas"):
+            raise ValueError(f"shade must be 'xla' or 'pallas', got "
+                             f"{self.shade!r}")
         if self.remat not in ("none", "hits"):
             raise ValueError(f"remat must be 'none' or 'hits', got "
                              f"{self.remat!r}")

@@ -427,63 +427,29 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
 
-    # --- differentiable hit quantities via gather + recompute ---
+    # --- differentiable hit quantities via gather + fused shading ---
+    # (hit-distance recompute, folded incidence trig, ITU Fresnel with
+    # per-segment free-space loss, complex amplitude update, specular ray
+    # update with the 1e-4 self-hit offset, mesh-velocity Doppler —
+    # compute_paths.c:607-664.)  shade_a_jnp is the canonical op sequence;
+    # cfg.shade="pallas" runs the identical chain as ONE fused VPU kernel
+    # per ray tile (forward bit-identical, backward = jnp vjp recomputed).
     hit = access.fetch(safe)
-    t = _recompute_t(o, d, hit, live)
-    n = hit["normal"]
-    ndot = dot3(n, d)
-    # folded incidence (compute_paths.c:282-283): theta = acos(|n.d|); the
-    # trig the reference derives from it is computed algebraically —
-    # cos(theta) = |n.d|, sin(theta) = sqrt(1 - (n.d)^2) — no acos/sin/cos
-    # round-trips (equal to the C chain within f32 rounding).
-    cos_t1 = jnp.clip(jnp.abs(ndot), 0.0, _CLIP)
-    sin_t1 = jnp.sqrt(1.0 - cos_t1 * cos_t1)
-    theta = fast_acos(cos_t1)
     mat_rows = hit["eta"]
-
-    # --- Fresnel reflection + per-segment free-space loss ---
-    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(mat_rows, cos_t1, sin_t1)
-    if cfg.spawn_transmission:
-        # transmitting rays pick up the eq. 31c/31d coefficients instead
-        from .ops.fresnel import trans_coefs
-        x_te_re, x_te_im, x_tm_re, x_tm_im = trans_coefs(mat_rows, cos_t1,
-                                                         sin_t1)
-        r_te_re = jnp.where(transmit, x_te_re, r_te_re)
-        r_te_im = jnp.where(transmit, x_te_im, r_te_im)
-        r_tm_re = jnp.where(transmit, x_tm_re, r_tm_re)
-        r_tm_im = jnp.where(transmit, x_tm_im, r_tm_im)
-    fsl2 = (fslm * t) ** 2
-    fscale = jnp.where(fsl2 > 1.0, 1.0 / jnp.where(fsl2 > 1.0, fsl2, 1.0), 1.0)
-    r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
-    r_tm_re, r_tm_im = r_tm_re * fscale, r_tm_im * fscale
-
-    new_ate_re = ate_re * r_te_re - ate_im * r_te_im
-    new_ate_im = ate_re * r_te_im + ate_im * r_te_re
-    new_atm_re = atm_re * r_tm_re - atm_im * r_tm_im
-    new_atm_im = atm_re * r_tm_im + atm_im * r_tm_re
-    ate_re = jnp.where(live, new_ate_re, ate_re)
-    ate_im = jnp.where(live, new_ate_im, ate_im)
-    atm_re = jnp.where(live, new_atm_re, atm_re)
-    atm_im = jnp.where(live, new_atm_im, atm_im)
-    tau = tau + jnp.where(live, t / SPEED_OF_LIGHT, 0.0)
-
-    # --- specular ray update with self-hit offset (compute_paths.c:648-659) ---
-    hitp = o + t[:, None] * d
-    d_ref = reflect3(d, n)
-    if cfg.spawn_transmission:
-        # transmitted continuation: direction unchanged (ITU slab model —
-        # in/out refraction cancels for a thin wall), origin offset past the
-        # surface along the unchanged direction
-        d_ref = jnp.where(transmit[:, None], d, d_ref)
-    o_ref = hitp + jnp.float32(1e-4) * d_ref
-    o = jnp.where(live[:, None], o_ref, o)
-    d_new = jnp.where(live[:, None], d_ref, d)
-
-    # --- reflection Doppler from mesh velocity (compute_paths.c:661-664) ---
-    # (zero for transmitted continuations: d_ref == d)
+    shade_args = (o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, live,
+                  {k: hit[k] for k in ("v0", "e1", "e2", "normal",
+                                       "velocity")},
+                  mat_rows, fslm, k_dop)
+    if cfg.shade == "pallas" and not cfg.spawn_transmission:
+        from .ops.shade import shade_a
+        (o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, theta, cos_t1,
+         ndot) = shade_a(*shade_args)
+    else:
+        from .ops.shade import shade_a_jnp
+        (o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, theta, cos_t1,
+         ndot) = shade_a_jnp(*shade_args, transmit=transmit)
+    n = hit["normal"]
     vel = hit["velocity"]
-    freq = freq + jnp.where(live, dot3(d_ref - d, vel) * k_dop, 0.0)
-    d = d_new
 
     # --- scatter-to-RX shadow rays, all RX batched into one query ---
     so = jnp.broadcast_to(o[None], (nrx,) + o.shape)          # [NRx, R, 3]

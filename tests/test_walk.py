@@ -102,3 +102,21 @@ def test_tracer_walk_matches_default():
                                   np.asarray(res1.scatter.tau))
     np.testing.assert_array_equal(np.asarray(res0.los.a_te),
                                   np.asarray(res1.los.a_te))
+
+
+@pytest.mark.parametrize("group", [2, 8])
+@pytest.mark.parametrize("walk", ["resident", "dma"])
+def test_walk_grouped_prepass_bit_exact(rng, group, walk):
+    """Hierarchical (coarse-group) prepass: visit entries name GROUPS of
+    consecutive fine tiles; members re-test in-kernel.  Results must stay
+    bit-identical to the brute kernel for any group size."""
+    tris = flatten_scene(random_soup_scene(700, seed=11, extent=45.0),
+                         sort_triangles=True)
+    o, d = _rays(640, rng, extent=55.0)
+    tm = jnp.where(jnp.arange(640) % 5 == 0, -1.0, 1e9).astype(jnp.float32)
+    ref = pallas_intersect(o, d, tris, block_rays=256, block_tris=32,
+                           interpret=True, precision="highest", t_max=tm)
+    got = pallas_intersect(o, d, tris, block_rays=256, block_tris=32,
+                           interpret=True, precision="highest", t_max=tm,
+                           walk=walk, walk_group=group)
+    _assert_same(ref, got)
