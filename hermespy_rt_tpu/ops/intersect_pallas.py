@@ -102,6 +102,39 @@ def _ray_features(o: jax.Array, d: jax.Array, r_pad: int,
     return f
 
 
+def _od_rows(o: jax.Array, d: jax.Array, r_pad: int,
+             center=None) -> jax.Array:
+    """Compact per-ray operand f32[8, Rpad]: rows d(3), o(3), zeros(2).
+
+    The full 16-row feature matrix (incl. m = o x d and the ones row) is
+    built IN-KERNEL from these 6 rows (:func:`_features_from_od`): building
+    it in XLA land measured ~0.9 ms per 1M-ray query (cross + concat +
+    transpose materialisations, benchmarks/logs/trace_r3l) vs VPU-trivial
+    in VMEM, and the operand read drops 64 -> 32 MB."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    if center is not None:
+        o = o - center[None, :]
+    R = o.shape[0]
+    od = jnp.concatenate([d.T, o.T, jnp.zeros((2, R), jnp.float32)], axis=0)
+    if r_pad > R:
+        od = jnp.pad(od, ((0, 0), (0, r_pad - R)))
+    return od
+
+
+def _features_from_od(od: jax.Array) -> jax.Array:
+    """[8, B] od rows -> [16, B] f32 feature rows (d, m = o x d, o, 1, pad);
+    component order and arithmetic identical to :func:`_ray_features`."""
+    d = od[0:3]
+    o = od[3:6]
+    m = jnp.concatenate([o[1:2] * d[2:3] - o[2:3] * d[1:2],
+                         o[2:3] * d[0:1] - o[0:1] * d[2:3],
+                         o[0:1] * d[1:2] - o[1:2] * d[0:1]], axis=0)
+    ones = jnp.ones_like(od[0:1])
+    zeros = jnp.zeros((_NFEAT - 10,) + od.shape[1:], od.dtype)
+    return jnp.concatenate([d, m, o, ones, zeros], axis=0)
+
+
 def _split_bf16(x):
     """f32 -> (hi, lo) bf16 pair with hi + lo capturing ~16 mantissa bits."""
     hi = x.astype(jnp.bfloat16)
@@ -290,7 +323,7 @@ def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
     i_ref[...] = jnp.where(improve, tile_idx, i_ref[...])
 
 
-def _kernel(g_ref, f_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
+def _kernel(g_ref, od_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
             precision, fuse4: bool):
     """One (ray-tile, tri-tile) step of the nearest-hit reduction."""
     j = pl.program_id(1)
@@ -300,11 +333,11 @@ def _kernel(g_ref, f_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
         t_ref[...] = jnp.full_like(t_ref, _BIG)
         i_ref[...] = jnp.full_like(i_ref, -1)
 
-    _tile_body(g_ref, f_ref[...], ex_ref[...], t_ref, i_ref, j, block_tris,
-               precision, None, fuse4)
+    _tile_body(g_ref, _features_from_od(od_ref[...]), ex_ref[...], t_ref,
+               i_ref, j, block_tris, precision, None, fuse4)
 
 
-def _kernel_flags(flag_ref, g_ref, f_ref, ex_ref, t_ref, i_ref, *,
+def _kernel_flags(flag_ref, g_ref, od_ref, ex_ref, t_ref, i_ref, *,
                   block_tris: int, precision, fuse4: bool):
     """Brute-force step with per-ray-tile liveness flags (dead-ray skipping).
 
@@ -328,11 +361,11 @@ def _kernel_flags(flag_ref, g_ref, f_ref, ex_ref, t_ref, i_ref, *,
 
     @pl.when(flag_ref[i] != 0)
     def _eval():
-        _tile_body(g_ref, f_ref[...], ex_ref[...], t_ref, i_ref, j,
-                   block_tris, precision, None, fuse4)
+        _tile_body(g_ref, _features_from_od(od_ref[...]), ex_ref[...],
+                   t_ref, i_ref, j, block_tris, precision, None, fuse4)
 
 
-def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
+def _kernel_culled(aabb_ref, g_ref, od_ref, ex_ref, lim_ref, t_ref,
                    i_ref, *, block_tris: int, precision, has_limit: bool,
                    fuse4: bool = False):
     """Nearest-hit step with per-(ray-tile, tri-tile) AABB culling.
@@ -351,8 +384,8 @@ def _kernel_culled(aabb_ref, g_ref, f_ref, od_ref, ex_ref, lim_ref, t_ref,
         t_ref[...] = jnp.full_like(t_ref, _BIG)
         i_ref[...] = jnp.full_like(i_ref, -1)
 
-    f = f_ref[...]                                      # [NFEAT, TILE_R]
     od = od_ref[...]                                     # f32 [8, TILE_R]
+    f = _features_from_od(od)                            # [NFEAT, TILE_R]
     d = od[0:3, :]
     o = od[3:6, :]
     # slab test (branchless, inf-safe): per-axis entry/exit
@@ -451,7 +484,19 @@ def _visit_tile(vrow, slot, kk, group: int):
     return _visit_entry(vrow, slot, k + 1) * group + (kk - k * group)
 
 
-def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
+def _expand_walk_features(od, precision):
+    """[8, B] od -> the walk kernels' contraction operand, built ONCE per
+    ray tile (the walk grid never revisits a ray tile): exact1 -> [128, B]
+    bf16 limb columns; other precisions -> [128, B] f32 zero-padded lanes
+    (the DMA'd G tiles are always 128 lanes wide)."""
+    f = _features_from_od(od)
+    if precision == "exact1":
+        return _expand_f_exact1(f)
+    return jnp.concatenate(
+        [f, jnp.zeros((128 - f.shape[0],) + f.shape[1:], f.dtype)], axis=0)
+
+
+def _kernel_walk_res(v_hbm, aabb_ref, g_ref, od_ref,
                      ex_ref, lim_ref, t_ref, i_ref, vrow, vsem, *,
                      block_tris: int, precision, has_limit: bool,
                      fuse4: bool = False, group: int = 1):
@@ -471,8 +516,8 @@ def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
     slot = _visit_row_dma(v_hbm, vrow, vsem)
     n = _visit_entry(vrow, slot, 0)
 
-    f = f_ref[...]
     od = od_ref[...]
+    f = _expand_walk_features(od, precision)   # once per ray tile
     d = od[0:3, :]
     o = od[3:6, :]
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
@@ -502,7 +547,7 @@ def _kernel_walk_res(v_hbm, aabb_ref, g_ref, f_ref, od_ref,
     jax.lax.fori_loop(0, n * group, body, 0)
 
 
-def _kernel_walk(v_hbm, aabb_ref, g_hbm, f_ref, od_ref,
+def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
                  ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, vrow, vsem, *,
                  block_tris: int, precision, has_limit: bool,
                  fuse4: bool = False, group: int = 1):
@@ -537,8 +582,8 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, f_ref, od_ref,
     def _warmup():
         get_dma(0, 0).start()
 
-    f = f_ref[...]
     od = od_ref[...]
+    f = _expand_walk_features(od, precision)   # once per ray tile
     d = od[0:3, :]
     o = od[3:6, :]
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
@@ -713,10 +758,9 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
     g = _triangle_matrices(tris, center)
     if t_pad > t_total:
         g = jnp.pad(g, ((0, 0), (0, t_pad - t_total), (0, 0)))
-    f = _ray_features(o, d, r_pad, center)
-    # f32 (d, o) rows for the culled kernel's slab test, independent of the
-    # (possibly bf16-limb-expanded) contraction operands
-    od = jnp.concatenate([f[0:3], f[6:9], jnp.zeros((2, r_pad), jnp.float32)])
+    # compact per-ray operand: the 16-row feature matrix (m = o x d, ones)
+    # is built in-kernel (see _od_rows/_features_from_od)
+    od = _od_rows(o, d, r_pad, center)
     ex = jnp.full((1, r_pad), -1, jnp.int32)
     if exclude is not None:
         ex = ex.at[0, :R].set(
@@ -731,24 +775,18 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
     # exact1 limb expansion: G expands in XLA (a [4, Tpad, 128] bf16 array
     # is tiny, and the in-kernel expansion — re-run for EVERY ray tile since
     # the G tile revisits — ends in a lane-axis concat that Mosaic lowers as
-    # a relayout).  F expands IN-KERNEL: its expansion concat runs along
-    # sublanes (cheap) and pre-expanding it would add ~256 MB of bf16 HBM
-    # traffic per 1M rays (measured loss, benchmarks/README.md r2 notes).
-    # pre_expand=True additionally moves the F expansion to XLA (opt-in).
+    # a relayout).  F builds AND expands IN-KERNEL from the od rows: both
+    # run along sublanes (cheap VPU), and the XLA-side build measured
+    # ~0.9 ms/M-ray query of cross+concat+transpose materialisations
+    # (benchmarks/logs/trace_r3l; pre_expand is a retired no-op).
     if precision == "exact1" and not walk:
         limbs_g = _split3_bf16(g)
         g = jnp.concatenate([limbs_g[i] for i, _ in _EXACT1_COMBOS], axis=-1)
-        if pre_expand:
-            limbs_f = _split3_bf16(f)
-            f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS],
-                                axis=0)
-    nfeat = f.shape[0]
+    del pre_expand
 
     grid = (r_pad // block_rays, t_pad // block_tris)
     g_spec = pl.BlockSpec((4, block_tris, g.shape[-1]),
                           lambda i, j: (0, j, 0), memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((nfeat, block_rays), lambda i, j: (0, i),
-                          memory_space=pltpu.VMEM)
     od_spec = pl.BlockSpec((8, block_rays), lambda i, j: (0, i),
                            memory_space=pltpu.VMEM)
     ex_spec = pl.BlockSpec((1, block_rays), lambda i, j: (0, i),
@@ -789,24 +827,18 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
         if live_p is not None:
             lim = jnp.where(live_p[None, :], lim, -1.0)
         visits = _walk_prepass(od, lim, aabbs, block_rays, group)
-        # Both walk kernels take G and F pre-expanded: the DMA variant's
-        # manual HBM->VMEM G copies need lane-128 slices (Mosaic DMA
-        # alignment), and the fori-loop matmuls want layout-stable operands.
-        # exact1 -> bf16 limb columns (barriered split per the
-        # excess-precision hazard; G is T-sized and F R-sized — one extra
-        # [128, R] bf16 pass of HBM traffic, ~0.3 ms/M rays), other
-        # precisions -> f32 zero-padded K lanes (zero lanes contribute 0).
+        # The walk kernels take G pre-expanded (the DMA variant's manual
+        # HBM->VMEM G copies need lane-128 slices — Mosaic DMA alignment);
+        # F builds and expands IN-KERNEL once per ray tile
+        # (_expand_walk_features).  exact1 -> bf16 limb columns (barriered
+        # split per the excess-precision hazard), other precisions -> f32
+        # zero-padded K lanes (zero lanes contribute 0).
         if precision == "exact1":
             limbs_g = _split3_bf16(g)
             g = jnp.concatenate([limbs_g[i] for i, _ in _EXACT1_COMBOS],
                                 axis=-1)
-            limbs_f = _split3_bf16(f)
-            f = jnp.concatenate([limbs_f[j] for _, j in _EXACT1_COMBOS],
-                                axis=0)
         else:
             g = jnp.pad(g, ((0, 0), (0, 0), (0, 128 - g.shape[-1])))
-            f = jnp.pad(f, ((0, 128 - f.shape[0]), (0, 0)))
-        nfeat = f.shape[0]
         # resident variant: the whole expanded G fits VMEM for small scenes
         resident = walk == "resident" or (
             walk in (True, "auto")
@@ -822,7 +854,6 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # aabbs
         ]
         tail_in_specs = [
-            pl.BlockSpec((nfeat, block_rays), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block_rays), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rays), row, memory_space=pltpu.VMEM),
@@ -850,7 +881,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                 out_shape=out_shape,
                 scratch_shapes=visit_scratch,
                 interpret=interpret,
-            )(visits, aabbs, g, f, od, ex, lim)
+            )(visits, aabbs, g, od, ex, lim)
         else:
             kern = functools.partial(_kernel_walk, block_tris=block_tris,
                                      precision=precision,
@@ -869,7 +900,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                     pltpu.SemaphoreType.DMA((2,)),
                 ] + visit_scratch,
                 interpret=interpret,
-            )(visits, aabbs, g, f, od, ex, lim)
+            )(visits, aabbs, g, od, ex, lim)
         t_r = t_out[0, :R]
         i_r = i_out[0, :R]
         return t_r, jnp.where(jnp.isfinite(t_r), i_r, -1)
@@ -892,11 +923,11 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             kern, grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # aabbs (small, whole)
-                g_spec, f_spec, od_spec, ex_spec, row_spec,
+                g_spec, od_spec, ex_spec, row_spec,
             ],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(aabbs, g, f, od, ex, lim)
+        )(aabbs, g, od, ex, lim)
     elif live_p is not None:
         flags = jnp.any(live_p.reshape(-1, block_rays), axis=1
                         ).astype(jnp.int32)                    # [nRT]
@@ -905,10 +936,10 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # flags, whole
-                      g_spec, f_spec, ex_spec],
+                      g_spec, od_spec, ex_spec],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(flags, g, f, ex)
+        )(flags, g, od, ex)
         if has_t_max:
             tm = jnp.broadcast_to(
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (R,))
@@ -920,10 +951,10 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                                  precision=precision, fuse4=fuse4)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[g_spec, f_spec, ex_spec],
+            in_specs=[g_spec, od_spec, ex_spec],
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(g, f, ex)
+        )(g, od, ex)
         if has_t_max:
             tm = jnp.broadcast_to(
                 jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (R,))

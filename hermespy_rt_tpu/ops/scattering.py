@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .geometry import fast_exp_neg
+
 __all__ = ["scat_coefs"]
 
 
@@ -38,7 +40,9 @@ def scat_coefs(theta_s, theta_i, s, s1_alpha, cos_ts=None, cos_ti=None,
     cos_ti = jnp.cos(theta_i) if cos_ti is None else cos_ti
     sin_ti = jnp.sin(theta_i) if sin_ti is None else sin_ti
 
-    f = s * jnp.exp(-s1_alpha * jnp.abs(theta_s - theta_i))
+    # sub-ulp polynomial exp (XLA's exp lowers to a slow generic chain on
+    # the TPU VPU — measured 3.1 ms/trace at 1M rays, trace_r3m)
+    f = s * fast_exp_neg(-s1_alpha * jnp.abs(theta_s - theta_i))
 
     roughness = 1.0 / (1.0 + s1_alpha)
     specular = roughness * cos_ts

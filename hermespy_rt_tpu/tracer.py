@@ -203,6 +203,24 @@ class LocalSceneAccess:
         eta chain never passes through geometry) and XLA DCE drops the
         cross-bounce geometric backward (see TracerConfig.grad_geometry).
         """
+        if self._gather == "onehot_pallas" and idx_safe.ndim == 1:
+            # transposed consumption: the kernel's natural output is
+            # [27, R] (rays on lanes); slicing ROWS off it is a cheap
+            # sublane slice, where 12 single-COLUMN eta slices of an
+            # [R, 27] array measured 3.1 ms/trace (trace_r3l)
+            import jax as _jax
+            from .ops.fetch_pallas import pallas_onehot_fetch_t
+            rowt = pallas_onehot_fetch_t(idx_safe, self._table,
+                                         _jax.default_backend() != "tpu",
+                                         self._fetch_bwd)
+            rowt = checkpoint_name(rowt, "payload")
+            geo = (rowt if self._grad_geometry
+                   else jax.lax.stop_gradient(rowt))
+            out = dict(v0=geo[0:3].T, e1=geo[3:6].T, e2=geo[6:9].T,
+                       normal=geo[9:12].T, velocity=geo[12:15].T)
+            out["eta"] = EtaPrecomputed(**{
+                f: rowt[_GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
+            return out
         row = self._rows(idx_safe)
         geo = row if self._grad_geometry else jax.lax.stop_gradient(row)
         out = dict(v0=geo[..., 0:3], e1=geo[..., 3:6], e2=geo[..., 6:9],
@@ -213,7 +231,17 @@ class LocalSceneAccess:
 
     def normal_at(self, idx_safe):
         if self._table is not None:
-            n = self._rows(idx_safe)[..., 9:12]
+            if self._gather == "onehot_pallas":
+                import jax as _jax
+                from .ops.fetch_pallas import pallas_onehot_fetch_t
+                shape = idx_safe.shape
+                rowt = pallas_onehot_fetch_t(
+                    idx_safe.reshape(-1), self._table,
+                    _jax.default_backend() != "tpu", self._fetch_bwd)
+                rowt = checkpoint_name(rowt, "payload")
+                n = rowt[9:12].T.reshape(shape + (3,))
+            else:
+                n = self._rows(idx_safe)[..., 9:12]
             return n if self._grad_geometry else jax.lax.stop_gradient(n)
         return self.tris.normal[idx_safe]
 
