@@ -196,18 +196,23 @@ def _fetch_bwd(interpret, bwd, res, g):
 pallas_onehot_fetch.defvjp(_fetch_fwd, _fetch_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def pallas_onehot_fetch_t(idx, table, interpret=False, bwd="xla"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_onehot_fetch_t(idx, table, interpret=False, bwd="xla",
+                          bwd_cols=None):
     """Transposed-output fetch: returns f32[C, R] (rays on LANES) for
     ``idx`` i32[R] flat.  Consumers slice ROWS ([k, R] sublane slices —
     cheap) instead of columns of an [R, C] array (12 single-column slices
     measured 3.1 ms per trace, benchmarks/logs/trace_r3l).  Differentiable
-    w.r.t. ``table``."""
-    out, _ = _fetch_fwd_t(idx, table, interpret, bwd)
+    w.r.t. ``table``.  ``bwd_cols`` (static (lo, hi) or None) restricts the
+    backward scatter-add to that column range — the caller's contract that
+    every other column's cotangent is identically zero (grad_geometry=False
+    stop-grads the 15 geometry columns); the skipped columns' gradients
+    come back as zeros."""
+    out, _ = _fetch_fwd_t(idx, table, interpret, bwd, bwd_cols)
     return out
 
 
-def _fetch_fwd_t(idx, table, interpret, bwd="xla"):
+def _fetch_fwd_t(idx, table, interpret, bwd="xla", bwd_cols=None):
     t, c = table.shape
     flat = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
     r = flat.shape[0]
@@ -232,12 +237,18 @@ def _fetch_fwd_t(idx, table, interpret, bwd="xla"):
     return out[:, :r], (idx, t, c)
 
 
-def _fetch_bwd_t(interpret, bwd, res, g):
+def _fetch_bwd_t(interpret, bwd, bwd_cols, res, g):
     idx, t, c = res
+    lo, hi = (0, c) if bwd_cols is None else bwd_cols
+    gs = g[lo:hi]
     if bwd == "xla":
         from .fetch import _onehot_fetch_bwd_xla
-        return _onehot_fetch_bwd_xla(res, g.T)
-    return None, pallas_scatter_add(idx, g.T, t, interpret)
+        _, dt = _onehot_fetch_bwd_xla((idx, t, hi - lo), gs.T)
+    else:
+        dt = pallas_scatter_add(idx, gs.T, t, interpret)
+    if bwd_cols is not None:
+        dt = jnp.pad(dt, ((0, 0), (lo, c - hi)))
+    return None, dt
 
 
 pallas_onehot_fetch_t.defvjp(_fetch_fwd_t, _fetch_bwd_t)

@@ -43,6 +43,12 @@ from .intersect import FLT_EPS, T_MAX
 
 __all__ = ["make_pallas_intersect", "pallas_intersect"]
 
+# ray-tile grid axis is embarrassingly parallel (each owns its output
+# block); the triangle axis accumulates into it sequentially.  Declaring
+# this lets Mosaic pipeline across ray tiles.
+_GRID_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"))
+
 _BIG = np.float32(np.inf)  # plain numpy scalar: jnp constants can't be
                            # captured by a pallas kernel body
 _NFEAT = 16
@@ -926,6 +932,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
                 g_spec, od_spec, ex_spec, row_spec,
             ],
             out_specs=out_specs, out_shape=out_shape,
+            compiler_params=_GRID_SEMANTICS,
             interpret=interpret,
         )(aabbs, g, od, ex, lim)
     elif live_p is not None:
@@ -938,6 +945,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # flags, whole
                       g_spec, od_spec, ex_spec],
             out_specs=out_specs, out_shape=out_shape,
+            compiler_params=_GRID_SEMANTICS,
             interpret=interpret,
         )(flags, g, od, ex)
         if has_t_max:
@@ -953,6 +961,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
             kern, grid=grid,
             in_specs=[g_spec, od_spec, ex_spec],
             out_specs=out_specs, out_shape=out_shape,
+            compiler_params=_GRID_SEMANTICS,
             interpret=interpret,
         )(g, od, ex)
         if has_t_max:

@@ -210,9 +210,13 @@ class LocalSceneAccess:
             # [R, 27] array measured 3.1 ms/trace (trace_r3l)
             import jax as _jax
             from .ops.fetch_pallas import pallas_onehot_fetch_t
-            rowt = pallas_onehot_fetch_t(idx_safe, self._table,
-                                         _jax.default_backend() != "tpu",
-                                         self._fetch_bwd)
+            rowt = pallas_onehot_fetch_t(
+                idx_safe, self._table, _jax.default_backend() != "tpu",
+                self._fetch_bwd,
+                # geometry cotangents are identically zero under
+                # grad_geometry=False (stop-gradded below): restrict the
+                # backward scatter-add to the eta columns
+                None if self._grad_geometry else (_GEOM_COLS, 27))
             rowt = checkpoint_name(rowt, "payload")
             geo = (rowt if self._grad_geometry
                    else jax.lax.stop_gradient(rowt))
