@@ -40,9 +40,17 @@ def scat_coefs(theta_s, theta_i, s, s1_alpha, cos_ts=None, cos_ti=None,
     cos_ti = jnp.cos(theta_i) if cos_ti is None else cos_ti
     sin_ti = jnp.sin(theta_i) if sin_ti is None else sin_ti
 
-    # sub-ulp polynomial exp (XLA's exp lowers to a slow generic chain on
-    # the TPU VPU — measured 3.1 ms/trace at 1M rays, trace_r3m)
-    f = s * fast_exp_neg(-s1_alpha * jnp.abs(theta_s - theta_i))
+    # Sub-ulp polynomial exp on TPU (XLA's exp lowers to a slow generic
+    # chain on the TPU VPU, trace_r3m).  On CPU the library exp is kept:
+    # the polynomial's mul+add chains invite per-graph fma contraction
+    # choices, which broke the bit-EQUALITY invariant between single-device
+    # and shard_map traces (tests/test_sharding.py) — a library call is
+    # contraction-stable.  fast_exp_neg accuracy is pinned by its own test;
+    # the on-TPU path is pinned end-to-end by tpu_oracle_parity_r3.json
+    # (100% agreement vs the C reference with fast_exp in the graph).
+    exp_fn = (fast_exp_neg if jax.default_backend() == "tpu"
+              else lambda v: jnp.exp(jnp.minimum(v, 0.0)))
+    f = s * exp_fn(-s1_alpha * jnp.abs(theta_s - theta_i))
 
     roughness = 1.0 / (1.0 + s1_alpha)
     specular = roughness * cos_ts

@@ -121,3 +121,27 @@ def test_tracer_gather_variants_agree():
         outs.append(np.asarray(r.scatter.a_te))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_fetch_t_bwd_cols_slim_matches():
+    """bwd_cols=(15, 27) (the grad_geometry=False contract: geometry
+    cotangents identically zero) must produce the same table gradient as
+    the full backward when the cotangent is zero outside the range."""
+    import jax
+    import jax.numpy as jnp
+    from hermespy_rt_tpu.ops.fetch_pallas import pallas_onehot_fetch_t
+    rng = np.random.default_rng(3)
+    T, C, R = 128, 27, 5000
+    table = jnp.asarray(rng.normal(size=(T, C)).astype(np.float32) * 11.0)
+    idx = jnp.asarray(rng.integers(0, T, R).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(12, R)).astype(np.float32))
+
+    def loss(tb, bwd_cols):
+        rowt = pallas_onehot_fetch_t(idx, tb, True, "xla", bwd_cols)
+        eta = rowt[15:27]          # only eta rows reach the loss
+        return jnp.sum((eta * w) ** 2)
+
+    g_full = jax.grad(lambda tb: loss(tb, None))(table)
+    g_slim = jax.grad(lambda tb: loss(tb, (15, 27)))(table)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_slim))
+    assert np.asarray(g_slim)[:, :15].sum() == 0.0

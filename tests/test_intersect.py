@@ -115,3 +115,25 @@ def test_recompute_hit_t_matches_and_is_differentiable():
     g = jax.grad(dist)(o)
     # moving origin up increases hit distance with d = -z
     np.testing.assert_allclose(np.asarray(g)[0], [0, 0, 1], atol=1e-5)
+
+
+def test_fast_exp_neg_accuracy():
+    """Sub-ulp polynomial exp for the TPU scattering path: <=1 ulp of the
+    f64 reference over the full directivity argument range, exact at 0,
+    flush-to-zero below the normal range (matching XLA FTZ)."""
+    import jax
+    from hermespy_rt_tpu.ops.geometry import fast_exp_neg
+    rng = np.random.default_rng(7)
+    x = np.concatenate([-np.abs(rng.normal(size=200000)) * 30,
+                        -rng.uniform(0, 800, 50000),
+                        [0.0, -1.0, -87.0]]).astype(np.float32)
+    a = np.asarray(fast_exp_neg(jnp.asarray(x)))
+    b = np.exp(x.astype(np.float64))
+    m = b > 1.2e-38
+    rel = np.abs(a[m] - b[m]) / b[m]
+    assert rel.max() < 1.5e-7, rel.max()
+    assert float(fast_exp_neg(jnp.float32(0.0))) == 1.0
+    assert float(fast_exp_neg(jnp.float32(-200.0))) == 0.0
+    # gradient is exp within the same error
+    g = jax.grad(lambda v: fast_exp_neg(v))(jnp.float32(-2.5))
+    assert abs(float(g) - np.exp(-2.5)) < 1e-7
