@@ -135,9 +135,10 @@ class TracerConfig:
     # jnp ops — many XLA loop fusions whose intermediates round-trip HBM;
     # "pallas" fuses the whole chain into one VPU kernel per 4096-ray tile
     # (ops/shade.py) with a jnp-vjp backward — bit-identical forward values,
-    # gradients exactly those of the jnp path.  "pallas" requires the local
-    # (non-tri-sharded) scene access and no spawn_transmission; it falls
-    # back to "xla" otherwise.
+    # gradients exactly those of the jnp path.  "pallas" operates on plain
+    # per-ray arrays, so it composes with either scene access (local or
+    # tri-sharded); only spawn_transmission forces the jnp path (the
+    # transmit select is jnp-only).
     shade: str = "xla"
     # Backward rematerialisation policy for the bounce step: "none" saves
     # whatever XLA decides (every fusion boundary becomes a forward-pass HBM

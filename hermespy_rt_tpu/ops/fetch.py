@@ -69,11 +69,13 @@ def _onehot_bf16(idx, t):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def onehot_fetch(idx, table, bwd="pallas"):
+def onehot_fetch(idx, table, bwd="xla"):
     """``table[idx]`` for clamped ``idx`` i32[...], ``table`` f32[T, C],
     computed as one exact native-bf16 MXU pass.  Differentiable w.r.t.
     ``table``.  ``bwd`` selects the backward scatter-add implementation:
-    "pallas" (one-hot in VMEM only, ~6x faster at 1M rays) or "xla"."""
+    "xla" (the default, matching ``TracerConfig.fetch_bwd`` — safe in any
+    grad graph) or "pallas" (one-hot in VMEM only, faster standalone but
+    >~8 Pallas calls in one grad graph crash the remote TPU compiler)."""
     out, _ = _onehot_fetch_fwd(idx, table, bwd)
     return out
 

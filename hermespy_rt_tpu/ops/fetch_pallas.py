@@ -142,12 +142,13 @@ def pallas_scatter_add(idx, g, t, interpret=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def pallas_onehot_fetch(idx, table, interpret=False, bwd="pallas"):
+def pallas_onehot_fetch(idx, table, interpret=False, bwd="xla"):
     """``table[idx]`` (idx i32[...] clamped, table f32[T, C]) via the VMEM
     one-hot kernel; differentiable w.r.t. ``table``.  ``bwd`` selects the
-    scatter-add backward: "pallas" (one-hot in VMEM) or "xla" (pure-XLA
-    one-hot^T matmul — keeps Pallas calls out of the grad graph, the escape
-    hatch for the remote compiler's many-kernels-per-graph limit)."""
+    scatter-add backward: "xla" (default, matching ``TracerConfig.fetch_bwd``
+    — pure-XLA one-hot^T matmul, keeps Pallas calls out of the grad graph,
+    which crashes the remote compiler beyond ~8 kernels) or "pallas"
+    (one-hot in VMEM; faster standalone, opt-in)."""
     out, _ = _fetch_fwd(idx, table, interpret, bwd)
     return out
 

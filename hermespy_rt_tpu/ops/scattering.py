@@ -48,8 +48,13 @@ def scat_coefs(theta_s, theta_i, s, s1_alpha, cos_ts=None, cos_ti=None,
     # contraction-stable.  fast_exp_neg accuracy is pinned by its own test;
     # the on-TPU path is pinned end-to-end by tpu_oracle_parity_r3.json
     # (100% agreement vs the C reference with fast_exp in the graph).
+    # NOTE: the argument is <= 0 whenever s1_alpha >= 0 (every ITU table
+    # row).  If a *learnable* s1_alpha is driven negative, the CPU path
+    # computes/differentiates the true exp of the positive argument, while
+    # the TPU fast path saturates at exp(0) (its domain is x <= 0) — keep
+    # calibrated s1_alpha non-negative.
     exp_fn = (fast_exp_neg if jax.default_backend() == "tpu"
-              else lambda v: jnp.exp(jnp.minimum(v, 0.0)))
+              else jnp.exp)
     f = s * exp_fn(-s1_alpha * jnp.abs(theta_s - theta_i))
 
     roughness = 1.0 / (1.0 + s1_alpha)

@@ -65,8 +65,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_trace(tmp_path):
+    # (no pytest-timeout plugin in this image; the communicate(timeout=540)
+    # below is the real guard)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"localhost:{_free_port()}"
     script = tmp_path / "worker.py"
