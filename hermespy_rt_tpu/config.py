@@ -133,12 +133,19 @@ class TracerConfig:
     # Bounce-shading implementation: "xla" runs the per-ray reflection math
     # (hit-distance recompute, Fresnel, amplitude update, specular step) as
     # jnp ops — many XLA loop fusions whose intermediates round-trip HBM;
-    # "pallas" fuses the whole chain into one VPU kernel per 4096-ray tile
-    # (ops/shade.py) with a jnp-vjp backward — bit-identical forward values,
-    # gradients exactly those of the jnp path.  "pallas" operates on plain
-    # per-ray arrays, so it composes with either scene access (local or
-    # tri-sharded); only spawn_transmission forces the jnp path (the
-    # transmit select is jnp-only).
+    # "pallas" fuses the reflection-half chain into one VPU kernel per
+    # 4096-ray tile (ops/shade.py) with a jnp-vjp backward — bit-identical
+    # forward values, gradients exactly those of the jnp path.  "fused"
+    # fuses the ENTIRE per-bounce elementwise pipeline (in-kernel payload
+    # fetch + reflection shading + shadow setup + scattering outputs) into
+    # two Pallas passes per bounce whose BACKWARDS are Pallas kernels too
+    # (in-VMEM vjp recompute; ops/bounce_fused.py) — bit-identical forward,
+    # gradients exactly those of the jnp chain.  "fused" applies to local
+    # (non-sharded) scene access with a fused payload table of <= 2048
+    # padded triangles, parity both modes, transmission off; other configs
+    # silently use the jnp path.  "pallas" composes with either scene
+    # access; only spawn_transmission forces the jnp path (the transmit
+    # select is jnp-only).
     shade: str = "xla"
     # Backward rematerialisation policy for the bounce step: "none" saves
     # whatever XLA decides (every fusion boundary becomes a forward-pass HBM
@@ -186,9 +193,9 @@ class TracerConfig:
             raise ValueError(f"backend must be 'jnp', 'pallas' or 'auto', got {self.backend!r}")
         if self.num_paths <= 0 or self.num_bounces <= 0:
             raise ValueError("num_paths and num_bounces must be > 0")
-        if self.shade not in ("xla", "pallas"):
-            raise ValueError(f"shade must be 'xla' or 'pallas', got "
-                             f"{self.shade!r}")
+        if self.shade not in ("xla", "pallas", "fused"):
+            raise ValueError(f"shade must be 'xla', 'pallas' or 'fused', "
+                             f"got {self.shade!r}")
         if self.remat not in ("none", "hits"):
             raise ValueError(f"remat must be 'none' or 'hits', got "
                              f"{self.remat!r}")

@@ -1,0 +1,780 @@
+"""Fully-fused bounce megakernels: the per-bounce elementwise pipeline as two
+Pallas passes with Pallas backwards.
+
+Round-3 profiling (benchmarks/logs/trace_r3o) showed the non-kernel device
+wall (17.7 of 29.6 ms at 1M rays) dominated by ~100 XLA loop fusions each
+round-tripping 40-170 MiB of HBM: the scatter/shadow elementwise cluster,
+the hit-payload fetches, and their backwards.  The reference does all of
+this inline per ray (/root/reference/src/compute_paths.c:607-723); the
+TPU-native answer is to fuse each bounce's elementwise work into two VPU
+kernels around the shadow-ray query:
+
+* :func:`bounce_pre` — everything between the bounce nearest-hit query and
+  the shadow query: in-kernel hit-payload fetch (exact bf16-limb one-hot
+  matmul — the payload row never touches HBM), the full reflection-half
+  shading chain (hit-distance recompute, ITU Fresnel, complex amplitude
+  update, specular step, Doppler — the ops of
+  :func:`hermespy_rt_tpu.ops.shade.shade_a_jnp` in the same order), and the
+  per-RX shadow-ray setup (directions, distances, self-plane crossing).
+  Emits the shadow queries' ``od`` row operands directly in the layout the
+  intersection kernel consumes.
+* :func:`bounce_post` — everything after the shadow query: the self-hit
+  merge and occlusion decisions, the reference θ-clobber chain
+  (parity="reference", /root/reference/src/compute_paths.c:682 — the
+  occluder normals are fetched IN-KERNEL), directive scattering
+  coefficients, complex amplitude outputs, delay/Doppler rows.
+
+Differentiation: each stage is a ``jax.custom_vjp`` whose backward is ITS
+OWN Pallas kernel — the body recomputes the forward chain from the saved
+inputs entirely in VMEM via ``jax.vjp`` of the same tile function, so the
+backward costs one HBM read of inputs + cotangents and one write of input
+cotangents (the r3 fused-shade experiment lost because its jnp-vjp backward
+recomputed the chain through XLA/HBM; see benchmarks/README.md negative
+results).  Gradients w.r.t. the fused payload table accumulate in-kernel
+across ray tiles as an exact HIGHEST one-hot contraction (the fetch
+backward), so the standalone fetch-backward matmuls disappear too.
+
+Layout: every operand keeps rays on LANES ([k, R] rows, 4096-ray tiles);
+the carry between bounces is the intersection kernel's own ``od`` row
+operand ([8, R]: d rows, o rows, zero pad), so no transposes appear
+anywhere in the bounce loop.
+
+Semantics are bit-identical to the jnp path (same formulas, same op order,
+same helper functions — asserted by tests/test_bounce_fused.py); both
+parity modes are supported.  Not supported (the tracer falls back to jnp):
+``transmission``, ``spawn_transmission``, tri-sharded scene access, tables
+beyond 2048 padded rows.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fresnel import EtaPrecomputed, refl_coefs
+from .geometry import fast_acos
+from .intersect import FLT_EPS
+from .scattering import scat_coefs
+from .shade import ETA_FIELDS, _cross3r, _dot3r
+
+__all__ = ["FusedSpec", "bounce_pre", "bounce_post", "od_rows_from_vectors"]
+
+SPEED_OF_LIGHT = np.float32(299792458.0)
+_CLIP = np.float32(1.0) - np.float32(FLT_EPS)
+_GEOM = 15  # geometry columns before the eta block in the fused table
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSpec:
+    """Static configuration of the fused bounce kernels (hashable)."""
+
+    nrx: int
+    parity: str = "reference"          # "reference" | "physical"
+    grad_geometry: bool = True
+    eps_o: float = 1e-4                # physical-mode occlusion offset
+    interpret: bool = False
+    block: int = 4096                  # rays per kernel tile
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def od_rows_from_vectors(o, d):
+    """[R, 3] o/d -> the intersect kernel's [8, R] od rows (d, o, zeros)."""
+    R = o.shape[0]
+    return jnp.concatenate(
+        [d.T, o.T, jnp.zeros((2, R), jnp.float32)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel exact payload fetch (the pallas_onehot_fetch contraction inline)
+
+def _fetch_rows(limbs, idx_row, t):
+    """``table[idx]`` rows [C, B] from the [C, 3T] bf16 limb table and a
+    [1, B] clamped index row — one exact native-bf16 MXU pass (each output
+    element sums the three bf16 limbs of one f32 entry in the f32
+    accumulator; see ops/fetch_pallas.py)."""
+    b = idx_row.shape[-1]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
+    iota3 = jnp.concatenate([iota_t, iota_t, iota_t], axis=0)   # [3T, B]
+    oht = (idx_row == iota3).astype(jnp.bfloat16)
+    return jnp.dot(limbs, oht, preferred_element_type=jnp.float32)
+
+
+def _oht_f32(idx_row, t):
+    """Transposed f32 one-hot [T, B] for the backward scatter-add."""
+    b = idx_row.shape[-1]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
+    return (idx_row == iota_t).astype(jnp.float32)
+
+
+def _scatter_add_tile(idx_row, d_payload, t):
+    """Exact per-tile table cotangent: ``one_hot(idx)^T @ d_payload^T`` as a
+    HIGHEST dot_general contracting the ray axis (no transpose op; exact
+    because the one-hot is single-limb — see ops/fetch_pallas._bwd_kernel)."""
+    oht = _oht_f32(idx_row, t)                                  # [T, B]
+    return jax.lax.dot_general(
+        oht, d_payload, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                    # [T, C]
+
+
+def _eta_rows(payload):
+    return EtaPrecomputed(**{f: payload[_GEOM + i]
+                             for i, f in enumerate(ETA_FIELDS)})
+
+
+# ---------------------------------------------------------------------------
+# stage 1 tile function (differentiable part)
+
+def _safe_norm_r(v):
+    """Row-layout twin of tracer._safe_norm ([3, B] -> [1, B])."""
+    n2 = _dot3r(v, v)
+    n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
+    return jnp.where(n2 > 0, n, 0.0)
+
+
+def _pre_diff(payload, od, st, rxp, fslm, k_dop, *, live, spec: FusedSpec):
+    """Differentiable core of the pre-query stage, row layout [k, B].
+
+    Returns ``(od2, st2, ex, sh, d2rx, dsn, dint)`` — the new ray operand
+    rows, the new amplitude/delay/Doppler state, the (theta, cos_t1, ndot)
+    extras, the per-RX shadow-query operands ``sh`` ([nrx*8, B]: ds rows,
+    stop-gradded query origins, zeros), shadow distances, and the two dot
+    products the non-differentiable self-hit decisions derive from.
+
+    Exactly the op sequence of :func:`...ops.shade.shade_a_jnp` followed by
+    the scatter-pre lines of ``tracer.bounce_step``
+    (/root/reference/src/compute_paths.c:607-664 and :666-680), one op at a
+    time, so forward values are bit-identical to the jnp path.
+    """
+    d = od[0:3]
+    o = od[3:6]
+    geo = payload[0:_GEOM]
+    if not spec.grad_geometry:
+        geo = jax.lax.stop_gradient(geo)
+    v0, e1, e2 = geo[0:3], geo[3:6], geo[6:9]
+    n, vel = geo[9:12], geo[12:15]
+    eta = _eta_rows(payload)
+
+    pvec = _cross3r(d, e2)
+    det = _dot3r(e1, pvec)
+    qvec = _cross3r(o - v0, e1)
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = jnp.where(live, _dot3r(e2, qvec) * inv_det, 0.0)
+
+    ndot = _dot3r(n, d)
+    cos_t1 = jnp.clip(jnp.abs(ndot), 0.0, _CLIP)
+    sin_t1 = jnp.sqrt(1.0 - cos_t1 * cos_t1)
+    theta = fast_acos(cos_t1)
+
+    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(eta, cos_t1, sin_t1)
+    fsl2 = (fslm * t) ** 2
+    fscale = jnp.where(fsl2 > 1.0, 1.0 / jnp.where(fsl2 > 1.0, fsl2, 1.0),
+                       1.0)
+    r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
+    r_tm_re, r_tm_im = r_tm_re * fscale, r_tm_im * fscale
+
+    ate_re, ate_im = st[0:1], st[1:2]
+    atm_re, atm_im = st[2:3], st[3:4]
+    new_ate_re = ate_re * r_te_re - ate_im * r_te_im
+    new_ate_im = ate_re * r_te_im + ate_im * r_te_re
+    new_atm_re = atm_re * r_tm_re - atm_im * r_tm_im
+    new_atm_im = atm_re * r_tm_im + atm_im * r_tm_re
+
+    hitp = o + t * d
+    d_ref = d - 2.0 * _dot3r(d, n) * n
+    o_ref = hitp + jnp.float32(1e-4) * d_ref
+    o2 = jnp.where(live, o_ref, o)
+    d2 = jnp.where(live, d_ref, d)
+
+    st2 = jnp.concatenate([
+        jnp.where(live, new_ate_re, ate_re),
+        jnp.where(live, new_ate_im, ate_im),
+        jnp.where(live, new_atm_re, atm_re),
+        jnp.where(live, new_atm_im, atm_im),
+        st[4:5] + jnp.where(live, t / SPEED_OF_LIGHT, 0.0),
+        st[5:6] + jnp.where(live, _dot3r(d_ref - d, vel) * k_dop, 0.0),
+    ], axis=0)
+    od2 = jnp.concatenate([d2, o2, jnp.zeros_like(od[6:8])], axis=0)
+    ex = jnp.concatenate([theta, cos_t1, ndot], axis=0)
+
+    # --- per-RX shadow-ray setup (tracer.bounce_step scatter-pre lines) ---
+    sh_rows, d2rx_rows, dsn_rows = [], [], []
+    zeros2 = jnp.zeros_like(od[6:8])
+    dint = _dot3r(d2, n)                        # post-interaction d . n
+    for k in range(spec.nrx):
+        ds_un = jnp.concatenate([rxp[k, 0] - o2[0:1],
+                                 rxp[k, 1] - o2[1:2],
+                                 rxp[k, 2] - o2[2:3]], axis=0)  # [3, B]
+        d2rx = _safe_norm_r(ds_un)
+        ds = ds_un / jnp.where(d2rx > 0, d2rx, 1.0)
+        dsn_rows.append(_dot3r(ds, n))
+        if spec.parity == "reference":
+            so_q = jax.lax.stop_gradient(o2)
+        else:
+            so_q = jax.lax.stop_gradient(
+                o2 + jnp.float32(spec.eps_o) * ds)
+        sh_rows.append(jnp.concatenate([ds, so_q, zeros2], axis=0))
+        d2rx_rows.append(d2rx)
+    sh = jnp.concatenate(sh_rows, axis=0)       # [nrx*8, B]
+    d2rx_s = jnp.concatenate(d2rx_rows, axis=0)  # [nrx, B]
+    dsn = jnp.concatenate(dsn_rows, axis=0)      # [nrx, B]
+    return od2, st2, ex, sh, d2rx_s, dsn, dint
+
+
+def _pre_nondiff(dsn, dint, idx, live, spec: FusedSpec):
+    """Self-plane crossing decisions (stop-gradded in the jnp path too):
+    t_self = -1e-4 (d.n) / (ds.n); crossing = opposite-side test."""
+    t_self = -jnp.float32(1e-4) * dint / jnp.where(dsn == 0.0, 1.0, dsn)
+    crossing = ((dsn * dint < 0.0) & live).astype(jnp.int32)
+    excl = jnp.where(live, idx, -1)
+    return t_self, crossing, excl
+
+
+# ---------------------------------------------------------------------------
+# stage 1 kernels
+
+def _read_rxp(rxp_ref, nrx):
+    """[nrx, 3] jnp array from SMEM scalar reads (a vjp-able input value)."""
+    return jnp.stack([jnp.stack([rxp_ref[k, c] for c in range(3)])
+                      for k in range(nrx)])
+
+
+def _pre_fwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
+                    idx_ref, od2_ref, st2_ref, ex_ref, sh_ref, d2rx_ref,
+                    tself_ref, cross_ref, excl_ref, live_ref, *,
+                    spec: FusedSpec, t: int):
+    fslm = sc_ref[0]
+    k_dop = sc_ref[1]
+    rxp = _read_rxp(rxp_ref, spec.nrx)
+    idx = idx_ref[...]
+    act = act_ref[...] != 0
+    live = act & (idx >= 0)
+    safe = jnp.maximum(idx, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+
+    od2, st2, ex, sh, d2rx, dsn, dint = _pre_diff(
+        payload, od_ref[...], st_ref[...], rxp, fslm, k_dop,
+        live=live, spec=spec)
+    t_self, crossing, excl = _pre_nondiff(dsn, dint, idx, live, spec)
+
+    od2_ref[...] = od2
+    st2_ref[...] = st2
+    ex_ref[...] = ex
+    sh_ref[...] = sh
+    d2rx_ref[...] = d2rx
+    tself_ref[...] = t_self
+    cross_ref[...] = crossing
+    excl_ref[...] = excl
+    live_ref[...] = live.astype(jnp.int32)
+
+
+def _acc_pad(x, rows, lanes=128):
+    """Pad a small [r, c] grad to an accumulator block [rows, lanes]."""
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, lanes - x.shape[1])))
+
+
+def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
+                    idx_ref, dod2_ref, dst2_ref, dex_ref, dsh_ref,
+                    dd2rx_ref, dod_ref, dst_ref, dtab_ref, drxp_ref,
+                    dsc_ref, *, spec: FusedSpec, t: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+        drxp_ref[...] = jnp.zeros_like(drxp_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+
+    fslm = sc_ref[0]
+    k_dop = sc_ref[1]
+    rxp = _read_rxp(rxp_ref, spec.nrx)
+    idx = idx_ref[...]
+    act = act_ref[...] != 0
+    live = act & (idx >= 0)
+    safe = jnp.maximum(idx, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+
+    f = functools.partial(_pre_diff, live=live, spec=spec)
+    _, vjpfn = jax.vjp(f, payload, od_ref[...], st_ref[...], rxp, fslm,
+                       k_dop)
+    zero_dsn = jnp.zeros((spec.nrx,) + idx.shape[1:], jnp.float32)
+    zero_dint = jnp.zeros_like(idx, jnp.float32)
+    d_payload, d_od, d_st, d_rxp, d_fslm, d_kdop = vjpfn(
+        (dod2_ref[...], dst2_ref[...], dex_ref[...], dsh_ref[...],
+         dd2rx_ref[...], zero_dsn, zero_dint))
+
+    dod_ref[...] = d_od
+    dst_ref[...] = d_st
+    dtab_ref[...] += _scatter_add_tile(safe, d_payload, t)
+    drxp_ref[...] += _acc_pad(d_rxp, drxp_ref.shape[0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+    dsc_ref[...] += jnp.where(
+        (row == 0) & (lane == 0), d_fslm,
+        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# stage 2 tile function
+
+def _post_decisions(t_o, idx_o, t_self, crossing, excl, d2rx, live_b,
+                    spec: FusedSpec):
+    """Self-hit merge + occlusion decisions (all non-differentiable), the
+    exact comparisons of tracer.bounce_step
+    (/root/reference/src/compute_paths.c:678-683 for the 1-metre parity
+    window)."""
+    crossing_b = crossing != 0
+    if spec.parity == "reference":
+        self_hit = crossing_b & (t_self > jnp.float32(FLT_EPS))
+        closer = self_hit & (t_self < t_o)
+        t_m = jnp.where(closer, t_self, t_o)
+        idx_m = jnp.where(closer, excl, idx_o)
+        blocked = (idx_m >= 0) & (t_m <= 1.0)
+    else:
+        eps_o = jnp.float32(spec.eps_o)
+        limit = d2rx - 2.0 * eps_o
+        t_self_q = t_self - eps_o
+        self_hit = (crossing_b & (t_self_q > jnp.float32(FLT_EPS))
+                    & (t_self_q <= limit))
+        closer = self_hit & (t_self_q < t_o)
+        t_m = jnp.where(closer, t_self_q, t_o)
+        idx_m = jnp.where(closer, excl, idx_o)
+        blocked = (idx_m >= 0) & (t_m <= limit)
+    return idx_m, blocked
+
+
+def _post_diff(payload, nops, od2, st2, ex, sh, d2rx, fslm, k_dop, *,
+               live, blocked, occl_hit, spec: FusedSpec):
+    """Differentiable core of the post-query stage: θ-clobber chain (parity),
+    scattering coefficients, complex amplitude/delay/Doppler outputs —
+    tracer.bounce_step's scatter-apply lines in the same op order
+    (/root/reference/src/compute_paths.c:684-745).
+
+    ``nops`` is the [nrx*3, B] stack of occluder normal rows (fetched
+    in-kernel; zeros row-padding when parity="physical" never reads them).
+    Returns ``(out, wf)``: the six output rows per rx stacked [6*nrx, B]
+    and the write-mask scale rows [nrx, B].
+    """
+    d2 = od2[0:3]
+    geo = payload[0:_GEOM]
+    if not spec.grad_geometry:
+        geo = jax.lax.stop_gradient(geo)
+        nops = jax.lax.stop_gradient(nops)
+    n, vel = geo[9:12], geo[12:15]
+    eta = _eta_rows(payload)
+    theta, cos_t1 = ex[0:1], ex[1:2]
+    ndot = ex[2:3]
+    ate_re, ate_im = st2[0:1], st2[1:2]
+    atm_re, atm_im = st2[2:3], st2[3:4]
+    tau2, freq2 = st2[4:5], st2[5:6]
+
+    th_c, cos_c = theta, cos_t1
+    outs, wfs = [], []
+    for k in range(spec.nrx):
+        ds = sh[8 * k:8 * k + 3]
+        d2rx_k = d2rx[k:k + 1]
+        live_k = live
+        blocked_k = blocked[k:k + 1]
+        ds_dot_n = _dot3r(ds, n)
+        cos_ts = jnp.clip(ds_dot_n, -_CLIP, _CLIP)
+        theta_s = fast_acos(cos_ts)
+
+        if spec.parity == "reference":
+            occ_k = occl_hit[k:k + 1]
+            n_o = nops[3 * k:3 * k + 3]
+            cos_o = jnp.clip(jnp.abs(_dot3r(n_o, ds)), 0.0, _CLIP)
+            th_o = fast_acos(cos_o)
+            th_c = jnp.where(occ_k, th_o, th_c)
+            cos_c = jnp.where(occ_k, cos_o, cos_c)
+            theta_i, cos_ti = th_c, cos_c
+            write = live_k & ~blocked_k
+        else:
+            theta_i, cos_ti = theta, cos_t1
+            hemi = ds_dot_n * ndot < 0.0
+            write = live_k & ~blocked_k & hemi
+        sin_ti = jnp.sqrt(1.0 - cos_ti * cos_ti)
+
+        s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
+            theta_s, theta_i, eta.s, eta.s1_alpha,
+            cos_ts=cos_ts, cos_ti=cos_ti, sin_ti=sin_ti)
+
+        out_te_re = ate_re * s_te_re - ate_im * s_te_im
+        out_te_im = ate_re * s_te_im + ate_im * s_te_re
+        out_tm_re = atm_re * s_tm_re - atm_im * s_tm_im
+        out_tm_im = atm_re * s_tm_im + atm_im * s_tm_re
+
+        fsl_s2 = (fslm * d2rx_k) ** 2
+        sscale = jnp.where(fsl_s2 > 1.0,
+                           1.0 / jnp.where(fsl_s2 > 1.0, fsl_s2, 1.0), 1.0)
+        wf = write.astype(jnp.float32) * sscale
+        out_tau = jnp.where(write, tau2 + d2rx_k / SPEED_OF_LIGHT, 0.0)
+        scat_dop = _dot3r(ds - d2, vel) * k_dop
+        out_freq = freq2 - jnp.where(live_k, scat_dop, 0.0)
+        outs.append(jnp.concatenate(
+            [out_te_re * wf, out_te_im * wf, out_tm_re * wf,
+             out_tm_im * wf, out_tau, out_freq], axis=0))
+        wfs.append(wf)
+    return jnp.concatenate(outs, axis=0), jnp.concatenate(wfs, axis=0)
+
+
+def _post_fwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
+                     ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
+                     excl_ref, live_ref, to_ref, io_ref, out_ref, write_ref,
+                     *, spec: FusedSpec, t: int):
+    fslm = sc_ref[0]
+    k_dop = sc_ref[1]
+    live = live_ref[...] != 0
+    excl = excl_ref[...]
+    safe = jnp.maximum(excl, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+    live_b = jnp.broadcast_to(live, to_ref.shape)
+    idx_m, blocked = _post_decisions(
+        to_ref[...], io_ref[...], tself_ref[...], cross_ref[...], excl,
+        d2rx_ref[...], live_b, spec)
+    occl_hit = idx_m >= 0
+    if spec.parity == "reference":
+        safe_o = jnp.maximum(idx_m, 0)
+        nops = jnp.concatenate(
+            [_fetch_rows(limbsn_ref[...], safe_o[k:k + 1], t)
+             for k in range(spec.nrx)], axis=0)
+    else:
+        nops = jnp.zeros((3 * spec.nrx,) + excl.shape[1:], jnp.float32)
+
+    out, wf = _post_diff(payload, nops, od2_ref[...], st2_ref[...],
+                         ex_ref[...], sh_ref[...], d2rx_ref[...], fslm,
+                         k_dop, live=live, blocked=blocked,
+                         occl_hit=occl_hit, spec=spec)
+    out_ref[...] = out
+    write_ref[...] = (wf > 0).astype(jnp.int32)
+
+
+def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
+                     ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
+                     excl_ref, live_ref, to_ref, io_ref, dout_ref,
+                     dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref,
+                     dtab_ref, dsc_ref, *, spec: FusedSpec, t: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+
+    fslm = sc_ref[0]
+    k_dop = sc_ref[1]
+    live = live_ref[...] != 0
+    excl = excl_ref[...]
+    safe = jnp.maximum(excl, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+    live_b = jnp.broadcast_to(live, to_ref.shape)
+    idx_m, blocked = _post_decisions(
+        to_ref[...], io_ref[...], tself_ref[...], cross_ref[...], excl,
+        d2rx_ref[...], live_b, spec)
+    occl_hit = idx_m >= 0
+    safe_o = jnp.maximum(idx_m, 0)
+    if spec.parity == "reference":
+        nops = jnp.concatenate(
+            [_fetch_rows(limbsn_ref[...], safe_o[k:k + 1], t)
+             for k in range(spec.nrx)], axis=0)
+    else:
+        nops = jnp.zeros((3 * spec.nrx,) + excl.shape[1:], jnp.float32)
+
+    f = functools.partial(_post_diff, live=live, blocked=blocked,
+                          occl_hit=occl_hit, spec=spec)
+    _, vjpfn = jax.vjp(f, payload, nops, od2_ref[...], st2_ref[...],
+                       ex_ref[...], sh_ref[...], d2rx_ref[...], fslm, k_dop)
+    # cotangents: the six output rows per rx; the wf rows carry none
+    dwf = jnp.zeros((spec.nrx,) + excl.shape[1:], jnp.float32)
+    (d_payload, d_nops, d_od2, d_st2, d_ex, d_sh, d_d2rx, d_fslm,
+     d_kdop) = vjpfn((dout_ref[...], dwf))
+
+    dod2_ref[...] = d_od2
+    dst2_ref[...] = d_st2
+    dex_ref[...] = d_ex
+    dsh_ref[...] = d_sh
+    dd2rx_ref[...] = d_d2rx
+    dtab = _scatter_add_tile(safe, d_payload, t)
+    if spec.grad_geometry and spec.parity == "reference":
+        # occluder-normal cotangents scatter into the table's normal columns
+        zc = jnp.zeros((t, 9), jnp.float32)
+        for k in range(spec.nrx):
+            dn = _scatter_add_tile(safe_o[k:k + 1],
+                                   d_nops[3 * k:3 * k + 3], t)  # [T, 3]
+            dtab += jnp.concatenate(
+                [zc, dn, jnp.zeros((t, 15), jnp.float32)], axis=1)
+    dtab_ref[...] += dtab
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+    dsc_ref[...] += jnp.where(
+        (row == 0) & (lane == 0), d_fslm,
+        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+
+def _row(k, block):
+    return pl.BlockSpec((k, block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _whole():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _limb_table(table):
+    """[T, C] f32 -> [C, 3T] bf16 limb rows (XLA-side barriered split)."""
+    from .fetch import _split3_bf16
+    return jnp.concatenate(_split3_bf16(table.T), axis=-1)
+
+
+def _pad_rows(x, r_pad, value=0):
+    r = x.shape[-1]
+    if r_pad > r:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, r_pad - r),),
+                    constant_values=value)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bounce_pre(spec: FusedSpec, od, st, act, idx, table, rx_pos, fslm,
+               k_dop):
+    """Fused pre-query bounce stage.
+
+    Args: ``od`` f32[8, R] ray operand rows (d, o, zeros); ``st`` f32[6, R]
+    state rows (ate_re, ate_im, atm_re, atm_im, tau, freq); ``act`` bool[R];
+    ``idx`` i32[R] bounce-query hit ids; ``table`` f32[T, 27] fused payload
+    table; ``rx_pos`` f32[nrx, 3]; scalars ``fslm``/``k_dop``.
+
+    Returns ``(od2, st2, ex, sh, d2rx, t_self, crossing, excl, live)`` —
+    see :func:`_pre_diff`/:func:`_pre_nondiff`.
+    """
+    out, _ = _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm,
+                             k_dop)
+    return out
+
+
+def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
+    t, c = table.shape
+    R = od.shape[-1]
+    block = spec.block
+    r_pad = _round_up(max(R, block), block)
+    limbs = _limb_table(table)
+    od_p = _pad_rows(od, r_pad)
+    st_p = _pad_rows(st, r_pad)
+    act_p = _pad_rows(act.astype(jnp.int32).reshape(1, -1), r_pad)
+    idx_p = _pad_rows(jax.lax.stop_gradient(idx).reshape(1, -1), r_pad,
+                      value=-1)
+    sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
+                    jnp.asarray(k_dop, jnp.float32).reshape(())])
+    nrx = spec.nrx
+    shapes = [
+        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # od2
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # st2
+        jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # ex
+        jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # sh
+        jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d2rx
+        jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # t_self
+        jax.ShapeDtypeStruct((nrx, r_pad), jnp.int32),        # crossing
+        jax.ShapeDtypeStruct((1, r_pad), jnp.int32),          # excl
+        jax.ShapeDtypeStruct((1, r_pad), jnp.int32),          # live
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_pre_fwd_kernel, spec=spec, t=t),
+        grid=(r_pad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
+                  _row(8, block), _row(6, block), _row(1, block),
+                  _row(1, block)],
+        out_specs=[_row(s.shape[0], block) for s in shapes],
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=spec.interpret,
+    )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
+    outs = tuple(x[:, :R] for x in outs)
+    return outs, (od, st, act, idx, table, rx_pos)
+
+
+def _bounce_pre_fwd_vjp(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
+    out, res = _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm,
+                               k_dop)
+    return out, res + (fslm, k_dop)
+
+
+def _bounce_pre_bwd_vjp(spec, res, cots):
+    od, st, act, idx, table, rx_pos, fslm, k_dop = res
+    (d_od2, d_st2, d_ex, d_sh, d_d2rx, *_rest) = cots
+    t, c = table.shape
+    R = od.shape[-1]
+    block = spec.block
+    r_pad = _round_up(max(R, block), block)
+    limbs = _limb_table(table)
+    od_p = _pad_rows(od, r_pad)
+    st_p = _pad_rows(st, r_pad)
+    act_p = _pad_rows(act.astype(jnp.int32).reshape(1, -1), r_pad)
+    idx_p = _pad_rows(jax.lax.stop_gradient(idx).reshape(1, -1), r_pad,
+                      value=-1)
+    sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
+                    jnp.asarray(k_dop, jnp.float32).reshape(())])
+    nrx = spec.nrx
+    rx_rows = _round_up(max(nrx, 8), 8)
+    shapes = [
+        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st
+        jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
+        jax.ShapeDtypeStruct((rx_rows, 128), jnp.float32),    # d_rxp acc
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc acc
+    ]
+    acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_pre_bwd_kernel, spec=spec, t=t),
+        grid=(r_pad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
+                  _row(8, block), _row(6, block), _row(1, block),
+                  _row(1, block),
+                  _row(8, block), _row(6, block), _row(3, block),
+                  _row(nrx * 8, block), _row(nrx, block)],
+        out_specs=[_row(8, block), _row(6, block), acc((t, c)),
+                   acc((rx_rows, 128)), acc((8, 128))],
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=spec.interpret,
+    )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p,
+      _pad_rows(d_od2, r_pad), _pad_rows(d_st2, r_pad),
+      _pad_rows(d_ex, r_pad), _pad_rows(d_sh, r_pad),
+      _pad_rows(d_d2rx, r_pad))
+    d_od, d_st, d_table, d_rxp_acc, d_sc_acc = outs
+    d_rxp = d_rxp_acc[:nrx, :3]
+    d_fslm = d_sc_acc[0, 0].astype(jnp.float32)
+    d_kdop = d_sc_acc[0, 1].astype(jnp.float32)
+    return (d_od[:, :R], d_st[:, :R], None, None, d_table, d_rxp,
+            d_fslm, d_kdop)
+
+
+bounce_pre.defvjp(_bounce_pre_fwd_vjp, _bounce_pre_bwd_vjp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bounce_post(spec: FusedSpec, od2, st2, ex, sh, d2rx, t_self, crossing,
+                excl, live, t_o, idx_o, table, fslm, k_dop):
+    """Fused post-query bounce stage.
+
+    ``t_o``/``idx_o`` are the shadow-query results [nrx, R].  Returns
+    ``(out, write)`` with ``out`` f32[nrx*6, R] — per rx the rows
+    (te_re, te_im, tm_re, tm_im, tau, freq) — and ``write`` i32[nrx, R].
+    """
+    out, _ = _bounce_post_fwd(spec, od2, st2, ex, sh, d2rx, t_self,
+                              crossing, excl, live, t_o, idx_o, table,
+                              fslm, k_dop)
+    return out
+
+
+def _post_operands(spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl,
+                   live, t_o, idx_o, table, fslm, k_dop):
+    t, c = table.shape
+    R = od2.shape[-1]
+    block = spec.block
+    r_pad = _round_up(max(R, block), block)
+    limbs = _limb_table(table)
+    limbsn = _limb_table(table[:, 9:12])        # occluder-normal columns
+    sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
+                    jnp.asarray(k_dop, jnp.float32).reshape(())])
+    sg = jax.lax.stop_gradient
+    ops = (sc, limbs, limbsn, _pad_rows(od2, r_pad), _pad_rows(st2, r_pad),
+           _pad_rows(ex, r_pad), _pad_rows(sh, r_pad),
+           _pad_rows(d2rx, r_pad), _pad_rows(sg(t_self), r_pad),
+           _pad_rows(sg(crossing), r_pad), _pad_rows(sg(excl), r_pad,
+                                                     value=-1),
+           _pad_rows(sg(live), r_pad),
+           _pad_rows(sg(t_o), r_pad, value=np.inf),
+           _pad_rows(sg(idx_o), r_pad, value=-1))
+    return ops, t, c, R, r_pad
+
+
+def _bounce_post_fwd(spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl,
+                     live, t_o, idx_o, table, fslm, k_dop):
+    ops, t, c, R, r_pad = _post_operands(
+        spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o,
+        idx_o, table, fslm, k_dop)
+    nrx = spec.nrx
+    block = spec.block
+    shapes = [jax.ShapeDtypeStruct((nrx * 6, r_pad), jnp.float32),
+              jax.ShapeDtypeStruct((nrx, r_pad), jnp.int32)]
+    outs = pl.pallas_call(
+        functools.partial(_post_fwd_kernel, spec=spec, t=t),
+        grid=(r_pad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), _whole(), _whole(),
+                  _row(8, block), _row(6, block), _row(3, block),
+                  _row(nrx * 8, block), _row(nrx, block), _row(nrx, block),
+                  _row(nrx, block), _row(1, block), _row(1, block),
+                  _row(nrx, block), _row(nrx, block)],
+        out_specs=[_row(nrx * 6, block), _row(nrx, block)],
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=spec.interpret,
+    )(*ops)
+    out = tuple(x[:, :R] for x in outs)
+    res = (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o,
+           idx_o, table, fslm, k_dop)
+    return out, res
+
+
+def _bounce_post_bwd(spec, res, cots):
+    (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o, idx_o,
+     table, fslm, k_dop) = res
+    d_out, _d_write = cots
+    ops, t, c, R, r_pad = _post_operands(
+        spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o,
+        idx_o, table, fslm, k_dop)
+    nrx = spec.nrx
+    block = spec.block
+    shapes = [
+        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od2
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
+        jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # d_ex
+        jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # d_sh
+        jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d_d2rx
+        jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc acc
+    ]
+    acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_post_bwd_kernel, spec=spec, t=t),
+        grid=(r_pad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), _whole(), _whole(),
+                  _row(8, block), _row(6, block), _row(3, block),
+                  _row(nrx * 8, block), _row(nrx, block), _row(nrx, block),
+                  _row(nrx, block), _row(1, block), _row(1, block),
+                  _row(nrx, block), _row(nrx, block),
+                  _row(nrx * 6, block)],
+        out_specs=[_row(8, block), _row(6, block), _row(3, block),
+                   _row(nrx * 8, block), _row(nrx, block), acc((t, c)),
+                   acc((8, 128))],
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=spec.interpret,
+    )(*ops, _pad_rows(d_out, r_pad))
+    d_od2, d_st2, d_ex, d_sh, d_d2rx, d_table, d_sc_acc = outs
+    cut = lambda x: x[:, :R]
+    return (cut(d_od2), cut(d_st2), cut(d_ex), cut(d_sh), cut(d_d2rx),
+            None, None, None, None, None, None, d_table,
+            d_sc_acc[0, 0].astype(jnp.float32),
+            d_sc_acc[0, 1].astype(jnp.float32))
+
+
+bounce_post.defvjp(_bounce_post_fwd, _bounce_post_bwd)

@@ -749,12 +749,13 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
                    static_argnames=("block_rays", "block_tris", "interpret",
                                     "precision", "cull", "has_t_max",
                                     "has_live", "walk", "pre_expand",
-                                    "fuse4", "walk_group"))
-def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
-                           block_tris, interpret, precision, cull,
-                           has_t_max, has_live=False, walk=False,
-                           pre_expand=False, fuse4=False, walk_group=0):
-    R = o.shape[0]
+                                    "fuse4", "walk_group", "has_od"))
+def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
+                           block_rays, block_tris, interpret, precision,
+                           cull, has_t_max, has_live=False, walk=False,
+                           pre_expand=False, fuse4=False, walk_group=0,
+                           has_od=False):
+    R = od_arg.shape[-1] if has_od else o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
     r_pad = _round_up(max(R, block_rays), block_rays)
@@ -766,7 +767,20 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, block_rays,
         g = jnp.pad(g, ((0, 0), (0, t_pad - t_total), (0, 0)))
     # compact per-ray operand: the 16-row feature matrix (m = o x d, ones)
     # is built in-kernel (see _od_rows/_features_from_od)
-    od = _od_rows(o, d, r_pad, center)
+    if has_od:
+        # caller supplies the [8, R] od rows directly (the fused bounce
+        # kernels emit them — no XLA-side transpose/concat at all); only
+        # the precision-mode re-centering of the origin rows remains.
+        od = jax.lax.stop_gradient(od_arg)
+        if center is not None:
+            shift = jnp.concatenate(
+                [jnp.zeros((3,), jnp.float32), center,
+                 jnp.zeros((2,), jnp.float32)])[:, None]
+            od = od - shift
+        if r_pad > R:
+            od = jnp.pad(od, ((0, 0), (0, r_pad - R)))
+    else:
+        od = _od_rows(o, d, r_pad, center)
     ex = jnp.full((1, r_pad), -1, jnp.int32)
     if exclude is not None:
         ex = ex.at[0, :R].set(
@@ -980,7 +994,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      exclude=None, live=None,
                      walk=False, walk_group: int = 0,
                      pre_expand: bool = False,
-                     fuse4: bool = False) -> Tuple[jax.Array, jax.Array]:
+                     fuse4: bool = False,
+                     od=None) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -998,14 +1013,21 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         # that know their rays are coherent (shadow bundles to one RX,
         # range-limited occlusion) opt in explicitly.
         cull = False
+    has_od = od is not None
+    if has_od:
+        o = d = jnp.zeros((0, 3), jnp.float32)
+    else:
+        od = jnp.zeros((8, 0), jnp.float32)
     return _pallas_intersect_impl(
         o, d, tris,
         jnp.zeros((), jnp.float32) if t_max is None else t_max,
         exclude,
         jnp.zeros((0,), bool) if live is None else live,
+        od,
         block_rays, block_tris, interpret, precision, bool(cull),
         t_max is not None, has_live=live is not None, walk=walk,
-        pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group)
+        pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group,
+        has_od=has_od)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
@@ -1023,11 +1045,11 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def intersect_fn(o, d, t_max=None, exclude=None, live=None):
+    def intersect_fn(o, d, t_max=None, exclude=None, live=None, od=None):
         return pallas_intersect(o, d, tris, block_rays=block_rays,
                                 block_tris=block_tris, interpret=interpret,
                                 precision=precision, t_max=t_max, cull=cull,
                                 exclude=exclude, live=live, walk=walk,
-                                walk_group=walk_group, fuse4=fuse4)
+                                walk_group=walk_group, fuse4=fuse4, od=od)
 
     return intersect_fn

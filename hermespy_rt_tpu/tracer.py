@@ -233,6 +233,15 @@ class LocalSceneAccess:
             f: row[..., _GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
         return out
 
+    def intersect_od(self, od, t_max=None, exclude=None, live=None):
+        """Nearest hit with the ray operand supplied as [8, R] od rows
+        (d rows, o rows, zero pad) — the fused bounce kernels emit queries
+        in this layout so no transposes appear between kernels."""
+        od = jax.lax.stop_gradient(od)
+        if getattr(self._intersect, "supports_od", False):
+            return self._intersect(None, None, t_max, exclude, live, od=od)
+        return self._intersect(od[3:6].T, od[0:3].T, t_max, exclude, live)
+
     def normal_at(self, idx_safe):
         if self._table is not None:
             if self._gather == "onehot_pallas":
@@ -279,11 +288,13 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
             # brute kernel skips wholly-dead ray tiles via liveness flags
             # (cheaper than per-tile slab tests on small scenes); cull/walk
             # fold liveness into their t-limit rows instead
-            return make_pallas_intersect(tris, block_rays=cfg.block_rays,
-                                         block_tris=cfg.block_tris,
-                                         precision=cfg.precision,
-                                         cull=cfg.cull and not walk,
-                                         walk=walk, fuse4=cfg.fuse4)
+            fn = make_pallas_intersect(tris, block_rays=cfg.block_rays,
+                                       block_tris=cfg.block_tris,
+                                       precision=cfg.precision,
+                                       cull=cfg.cull and not walk,
+                                       walk=walk, fuse4=cfg.fuse4)
+            fn.supports_od = True
+            return fn
         except Exception:
             if cfg.backend == "pallas":
                 raise
@@ -635,6 +646,70 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     return carry, ys
 
 
+def bounce_step_fused(carry, _, *, access, rx_pos, fslm, k_dop,
+                      cfg: TracerConfig, spec, table):
+    """Fused-megakernel bounce (semantics of :func:`bounce_step`, same op
+    order — see ops/bounce_fused.py): the per-bounce elementwise pipeline
+    runs as two Pallas passes around the shadow query, the carry stays in
+    the intersect kernel's [8, R] od-row layout, and the hit payload is
+    fetched in-kernel (never materialised in HBM)."""
+    from .ops.bounce_fused import bounce_post, bounce_pre
+    od, st, act, pat, pidx = carry
+    nrx = rx_pos.shape[0]
+    R = od.shape[-1]
+
+    live_hint = act if cfg.compact_rays else None
+    _, idx = access.intersect_od(od, exclude=pidx, live=live_hint)
+    idx = jax.lax.stop_gradient(idx)
+
+    (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live_i) = bounce_pre(
+        spec, od, st, act, idx, table, rx_pos, fslm, k_dop)
+    live = live_i[0] != 0
+    excl_row = excl[0]
+
+    eps_o = jnp.float32(cfg.occlusion_offset)
+    lv = live if cfg.compact_rays else None
+
+    def shadow_query(od_k, lim_k):
+        tm = None if cfg.parity == "reference" else lim_k
+        return access.intersect_od(od_k, t_max=tm, exclude=excl_row,
+                                   live=lv)
+
+    if nrx <= 4:
+        t_os, idx_os = [], []
+        for k in range(nrx):
+            lim_k = (None if cfg.parity == "reference"
+                     else d2rx[k] - 2.0 * eps_o)
+            t_k, i_k = shadow_query(sh[8 * k:8 * (k + 1)], lim_k)
+            t_os.append(t_k)
+            idx_os.append(i_k)
+        t_o = jnp.stack(t_os)
+        idx_o = jnp.stack(idx_os)
+    else:
+        sh3 = sh.reshape(nrx, 8, R)
+        if cfg.parity == "reference":
+            t_o, idx_o = jax.lax.map(
+                lambda x: shadow_query(x, None), sh3)
+        else:
+            lims = d2rx - 2.0 * eps_o
+            t_o, idx_o = jax.lax.map(
+                lambda x: shadow_query(x[0], x[1][0]), (sh3, lims[:, None]))
+
+    out, write = bounce_post(spec, od2, st2, ex, sh, d2rx, t_self, crossing,
+                             excl, live_i, t_o, idx_o, table, fslm, k_dop)
+    out3 = out.reshape(nrx, 6, R)
+    te_re, te_im, tm_re, tm_im = (out3[:, 0], out3[:, 1], out3[:, 2],
+                                  out3[:, 3])
+    tau_o, freq_o = out3[:, 4], out3[:, 5]
+    ds_t = sh.reshape(nrx, 8, R)[:, 0:3].transpose(0, 2, 1)   # [nrx, R, 3]
+    dir_rx = jnp.where((write != 0)[..., None], -ds_t, 0.0)
+
+    carry2 = (od2, st2, live, pat >> 1, excl_row)
+    ys = (te_re, te_im, tm_re, tm_im, tau_o, freq_o, dir_rx,
+          od2[3:6].T, od2[0:3].T, live)
+    return carry2, ys
+
+
 def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None,
                  transmit_pattern=None):
     """Initial per-ray state over the flattened tx-major ray axis
@@ -675,12 +750,15 @@ def transmit_patterns(num_rays: int, num_bounces: int) -> jax.Array:
     return jnp.arange(num_rays, dtype=jnp.int32) % jnp.int32(2 ** num_bounces)
 
 
-def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
+def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig,
+                 step=None):
     """Run the bounce loop; returns the stacked per-bounce outputs."""
-    step = partial(bounce_step, access=access, rx_pos=rx_pos,
-                   fslm=fslm, k_dop=k_dop, cfg=cfg)
+    custom_saves = step is not None   # fused steps save their own residuals
+    if step is None:
+        step = partial(bounce_step, access=access, rx_pos=rx_pos,
+                       fslm=fslm, k_dop=k_dop, cfg=cfg)
     B = cfg.num_bounces
-    if cfg.remat == "hits":
+    if cfg.remat == "hits" and not custom_saves:
         # save ONLY the named residuals (kernel hit decisions + fetched
         # payload rows): the backward recomputes the elementwise shading
         # in-place — no Pallas call re-runs, far fewer forward-pass HBM
@@ -785,7 +863,30 @@ def trace_paths(tris: TriangleSoA,
     carry0 = launch_state(tx_pos, tx_vel, launch_dirs, k_dop,
                           transmit_pattern=pattern)
     o0, d0 = carry0[0], carry0[1]
-    ys = scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)
+
+    fused = (cfg.shade == "fused" and not cfg.transmission
+             and not cfg.spawn_transmission
+             and isinstance(access, LocalSceneAccess)
+             and access._table is not None
+             and tris.v0.shape[0] <= 2048)
+    if fused:
+        from .ops.bounce_fused import FusedSpec, od_rows_from_vectors
+        spec = FusedSpec(nrx=nrx, parity=cfg.parity,
+                         grad_geometry=cfg.grad_geometry,
+                         eps_o=cfg.occlusion_offset,
+                         interpret=jax.default_backend() != "tpu")
+        (o0_, d0_, ate_re0, ate_im0, atm_re0, atm_im0, tau0, act0, freq0,
+         pat0, pidx0) = carry0
+        od0 = od_rows_from_vectors(o0_, d0_)
+        st0 = jnp.stack([ate_re0, ate_im0, atm_re0, atm_im0, tau0, freq0])
+        carry_f = (od0, st0, act0, pat0, pidx0)
+        step = partial(bounce_step_fused, access=access, rx_pos=rx_pos,
+                       fslm=fslm, k_dop=k_dop, cfg=cfg, spec=spec,
+                       table=access._table)
+        ys = scatter_scan(access, rx_pos, carry_f, fslm, k_dop, cfg,
+                          step=step)
+    else:
+        ys = scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)
     scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,
                                              cfg.keep_rays)
     return PathsResult(los=los, scatter=scatter, rays_los=rays_los,

@@ -1,0 +1,146 @@
+"""Fused bounce megakernels (ops/bounce_fused.py): e2e trace equality with
+the canonical jnp path (both parity modes, multi-RX), gradient equality
+through the Pallas backwards (materials, positions, carrier frequency), and
+config-composition smoke (keep_rays, lax.map shadow grouping at nrx > 4).
+
+Tolerances follow tests/test_shade.py: the kernels run the identical op
+sequence, so differences are XLA-vs-Mosaic(interpret sub-jit) fma
+contraction choices — 1-2 ulp relative to each row's magnitude.  Gradient
+leaves are compared against the leaf's own max magnitude with a small
+absolute floor (denormal-scale leaves like s1_alpha's ~1e-24 accumulate in
+different orders)."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hermespy_rt_tpu.config import TracerConfig
+from hermespy_rt_tpu.materials import default_materials
+from hermespy_rt_tpu.scene import flatten_scene, load_hrt
+from hermespy_rt_tpu.tracer import trace_paths
+
+CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
+
+BASE = dict(num_paths=1024, num_bounces=2, backend="pallas",
+            keep_rays=False, precision="exact1", unroll_bounces=True,
+            fuse4=True, compact_rays=True, gather="onehot_pallas",
+            fetch_bwd="xla")
+
+
+def _setup(nrx=2):
+    tris = flatten_scene(load_hrt(CANYON))
+    mats = default_materials()
+    rx = (jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+          + jnp.arange(nrx, dtype=jnp.float32)[:, None]
+          * jnp.asarray([[1.5, -2.0, 0.25]], jnp.float32))
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    return tris, mats, rx, tx, jnp.zeros((nrx, 3), jnp.float32), \
+        jnp.zeros((1, 3), jnp.float32)
+
+
+def _assert_close_rows(a, b, name, rtol=3e-5):
+    """|a-b| <= rtol * row-magnitude + tiny: 1-2 ulp fma-contraction noise
+    amplified through cancellation, per tests/test_shade.py."""
+    a, b = np.asarray(a), np.asarray(b)
+    if np.iscomplexobj(a):
+        _assert_close_rows(a.real, b.real, name + ".re", rtol)
+        _assert_close_rows(a.imag, b.imag, name + ".im", rtol)
+        return
+    scale = np.abs(a)
+    if a.ndim >= 2:
+        scale = np.broadcast_to(scale.max(axis=-1, keepdims=True), a.shape)
+    ok = np.abs(a - b) <= rtol * scale + 1e-11
+    assert ok.all(), (f"{name}: {(~ok).sum()} beyond tol; "
+                      f"max abs {(np.abs(a - b)).max()}")
+
+
+@pytest.mark.parametrize("parity", ["reference", "physical"])
+@pytest.mark.parametrize("nrx", [1, 2])
+def test_trace_fused_matches_jnp(parity, nrx):
+    tris, mats, rx, tx, zrx, ztx = _setup(nrx)
+
+    @functools.partial(jax.jit, static_argnames=("shade",))
+    def run(m, shade):
+        cfg = TracerConfig(shade=shade, parity=parity, **BASE)
+        return trace_paths(tris, m, rx, tx, zrx, ztx, jnp.float32(3.0), cfg)
+
+    rj = run(mats, shade="xla")
+    rf = run(mats, shade="fused")
+    for f in ("a_te", "a_tm", "tau", "freq_shift", "directions_rx",
+              "directions_tx"):
+        _assert_close_rows(getattr(rj.scatter, f), getattr(rf.scatter, f),
+                           f"scatter.{f}")
+        np.testing.assert_array_equal(np.asarray(getattr(rj.los, f)),
+                                      np.asarray(getattr(rf.los, f)),
+                                      err_msg=f"los.{f}")
+
+
+def test_trace_fused_nrx_lax_map():
+    """nrx > 4 routes the shadow queries through lax.map — same results."""
+    tris, mats, rx, tx, zrx, ztx = _setup(nrx=5)
+
+    @functools.partial(jax.jit, static_argnames=("shade",))
+    def run(m, shade):
+        cfg = TracerConfig(shade=shade, parity="physical",
+                           **{**BASE, "num_paths": 512})
+        return trace_paths(tris, m, rx, tx, zrx, ztx, jnp.float32(3.0), cfg)
+
+    rj = run(mats, shade="xla")
+    rf = run(mats, shade="fused")
+    for f in ("a_te", "a_tm", "tau"):
+        _assert_close_rows(getattr(rj.scatter, f), getattr(rf.scatter, f),
+                           f"scatter.{f}")
+
+
+@pytest.mark.parametrize("parity", ["reference", "physical"])
+@pytest.mark.parametrize("grad_geometry", [False, True])
+def test_trace_fused_grads_match(parity, grad_geometry):
+    """Gradients w.r.t. materials, RX/TX positions and carrier frequency
+    equal the jnp chain's (the Pallas backwards recompute the identical
+    vjp in VMEM)."""
+    tris, mats, rx, tx, zrx, ztx = _setup(2)
+
+    @functools.partial(jax.jit, static_argnames=("shade",))
+    def gfun(m, rx_, tx_, f, shade):
+        def loss(m, rx_, tx_, f):
+            cfg = TracerConfig(shade=shade, parity=parity,
+                               grad_geometry=grad_geometry, **BASE)
+            r = trace_paths(tris, m, rx_, tx_, zrx, ztx, f, cfg)
+            return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                    + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9 \
+                + jnp.sum(r.scatter.tau) * 1e3 \
+                + jnp.sum(r.scatter.freq_shift) * 1e-3
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(m, rx_, tx_, f)
+
+    gj = gfun(mats, rx, tx, jnp.float32(3.0), shade="xla")
+    gf = gfun(mats, rx, tx, jnp.float32(3.0), shade="fused")
+    for a, b in zip(jax.tree_util.tree_leaves(gj),
+                    jax.tree_util.tree_leaves(gf)):
+        a, b = np.asarray(a), np.asarray(b)
+        # leaf-relative: 1-2 ulp per-ray noise accumulated over the sum;
+        # the absolute floor covers denormal-scale leaves (s1_alpha grads
+        # are ~1e-24 for this loss) where only accumulation order differs
+        tol = 3e-5 * max(np.abs(a).max(), 1e-30) + 1e-16
+        assert np.abs(a - b).max() <= tol, \
+            f"leaf grad mismatch: {np.abs(a - b).max()} > {tol}"
+
+
+def test_trace_fused_keep_rays():
+    tris, mats, rx, tx, zrx, ztx = _setup(1)
+    kw = {**BASE, "keep_rays": True, "num_paths": 512}
+
+    @functools.partial(jax.jit, static_argnames=("shade",))
+    def run(m, shade):
+        cfg = TracerConfig(shade=shade, parity="reference", **kw)
+        return trace_paths(tris, m, rx, tx, zrx, ztx, jnp.float32(3.0), cfg)
+
+    rj = run(mats, shade="xla")
+    rf = run(mats, shade="fused")
+    np.testing.assert_array_equal(np.asarray(rj.rays_scatter.active),
+                                  np.asarray(rf.rays_scatter.active))
+    _assert_close_rows(rj.rays_scatter.origins, rf.rays_scatter.origins,
+                       "rays.origins")
+    _assert_close_rows(rj.rays_scatter.directions,
+                       rf.rays_scatter.directions, "rays.directions")
