@@ -169,6 +169,17 @@ class TracerConfig:
     # zeroed.  Use for material-calibration training loops: the backward
     # pass drops from ~1.6x forward to ~1.2x at 1M rays.
     grad_geometry: bool = True
+    # Differentiability scope for positions (shade="fused" only): False
+    # declares TX/RX positions, launch geometry and the carrier-derived
+    # scalars compile-time constants of the BACKWARD — the fused kernels'
+    # in-VMEM vjp then prunes the entire geometric cotangent chain at trace
+    # time, the static form of the DCE XLA performs for a materials-only
+    # jax.grad (which cannot reach inside a monolithic backward kernel;
+    # measured 23.3 -> ~4 ms of backward kernels, probe_r4a/b).  Material
+    # gradients are unchanged; gradients w.r.t. positions/frequency are
+    # zeroed.  Requires grad_geometry=False.  The jnp path ignores this
+    # knob (XLA's own DCE covers it).
+    grad_positions: bool = True
     # Transmission-path spawning (physical mode only): rays are partitioned
     # over all 2**num_bounces reflect/transmit interaction sequences (static
     # shapes, no dynamic tree growth); a "transmit" interaction continues
@@ -230,6 +241,10 @@ class TracerConfig:
         if self.transmission and self.parity != "physical":
             raise ValueError("transmission=True requires parity='physical' "
                              "(the reference semantics zero blocked paths)")
+        if not self.grad_positions and self.grad_geometry:
+            raise ValueError("grad_positions=False requires "
+                             "grad_geometry=False (the cross-bounce vertex "
+                             "chain rides the ray operand it stops)")
         if self.spawn_transmission and self.parity != "physical":
             raise ValueError("spawn_transmission=True requires "
                              "parity='physical' (the reference has no "

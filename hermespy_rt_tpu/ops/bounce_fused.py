@@ -76,6 +76,16 @@ class FusedSpec:
     nrx: int
     parity: str = "reference"          # "reference" | "physical"
     grad_geometry: bool = True
+    # False = positions/launch geometry/carrier scalars are compile-time
+    # constants of the backward: the tile functions stop-grad the ray
+    # operand, RX positions and fslm/k_dop, so the in-kernel vjp prunes the
+    # entire geometric cotangent chain AT TRACE TIME — the static form of
+    # the DCE XLA performs for a materials-only jax.grad.  Requires
+    # grad_geometry=False.  Measured: the monolithic backward kernels
+    # cannot be DCE'd from outside (probe_r4a: 4.1 + 3.7 ms per bounce with
+    # the full geometric backward vs ~1 ms forward), so the pruning must be
+    # explicit.
+    grad_positions: bool = True
     eps_o: float = 1e-4                # physical-mode occlusion offset
     interpret: bool = False
     block: int = 4096                  # rays per kernel tile
@@ -154,6 +164,13 @@ def _pre_diff(payload, od, st, rxp, fslm, k_dop, *, live, spec: FusedSpec):
     (/root/reference/src/compute_paths.c:607-664 and :666-680), one op at a
     time, so forward values are bit-identical to the jnp path.
     """
+    if not spec.grad_positions:
+        # stop_gradient is identity forward; the vjp of everything that
+        # only feeds these chains dissolves at trace time (see FusedSpec)
+        od = jax.lax.stop_gradient(od)
+        rxp = jax.lax.stop_gradient(rxp)
+        fslm = jax.lax.stop_gradient(fslm)
+        k_dop = jax.lax.stop_gradient(k_dop)
     d = od[0:3]
     o = od[3:6]
     geo = payload[0:_GEOM]
@@ -282,20 +299,31 @@ def _acc_pad(x, rows, lanes=128):
 
 
 def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
-                    idx_ref, dod2_ref, dst2_ref, dex_ref, dsh_ref,
-                    dd2rx_ref, dod_ref, dst_ref, dtab_ref, drxp_ref,
-                    dsc_ref, *, spec: FusedSpec, t: int):
+                    idx_ref, *refs, spec: FusedSpec, t: int):
+    nrx = spec.nrx
+    if spec.grad_positions:
+        (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref,
+         dod_ref, dst_ref, dtab_ref, drxp_ref, dsc_ref) = refs
+    else:
+        # positions/scalars are static constants of the backward: their
+        # cotangent chains dissolved at trace time (stop_grads in
+        # _pre_diff), their incoming cotangents are structural zeros (the
+        # post stage returns None for them) — neither is shipped
+        dst2_ref, dst_ref, dtab_ref = refs
+        dod2_ref = dex_ref = dsh_ref = dd2rx_ref = None
+        dod_ref = drxp_ref = dsc_ref = None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
-        drxp_ref[...] = jnp.zeros_like(drxp_ref)
-        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        if drxp_ref is not None:
+            drxp_ref[...] = jnp.zeros_like(drxp_ref)
+            dsc_ref[...] = jnp.zeros_like(dsc_ref)
 
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
-    rxp = _read_rxp(rxp_ref, spec.nrx)
+    rxp = _read_rxp(rxp_ref, nrx)
     idx = idx_ref[...]
     act = act_ref[...] != 0
     live = act & (idx >= 0)
@@ -305,21 +333,22 @@ def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
     f = functools.partial(_pre_diff, live=live, spec=spec)
     _, vjpfn = jax.vjp(f, payload, od_ref[...], st_ref[...], rxp, fslm,
                        k_dop)
-    zero_dsn = jnp.zeros((spec.nrx,) + idx.shape[1:], jnp.float32)
-    zero_dint = jnp.zeros_like(idx, jnp.float32)
+    zrow = lambda k: jnp.zeros((k,) + idx.shape[1:], jnp.float32)
+    rd = lambda ref, k: zrow(k) if ref is None else ref[...]
     d_payload, d_od, d_st, d_rxp, d_fslm, d_kdop = vjpfn(
-        (dod2_ref[...], dst2_ref[...], dex_ref[...], dsh_ref[...],
-         dd2rx_ref[...], zero_dsn, zero_dint))
+        (rd(dod2_ref, 8), dst2_ref[...], rd(dex_ref, 3),
+         rd(dsh_ref, nrx * 8), rd(dd2rx_ref, nrx), zrow(nrx), zrow(1)))
 
-    dod_ref[...] = d_od
     dst_ref[...] = d_st
     dtab_ref[...] += _scatter_add_tile(safe, d_payload, t)
-    drxp_ref[...] += _acc_pad(d_rxp, drxp_ref.shape[0])
-    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
-    dsc_ref[...] += jnp.where(
-        (row == 0) & (lane == 0), d_fslm,
-        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+    if spec.grad_positions:
+        dod_ref[...] = d_od
+        drxp_ref[...] += _acc_pad(d_rxp, drxp_ref.shape[0])
+        lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+        dsc_ref[...] += jnp.where(
+            (row == 0) & (lane == 0), d_fslm,
+            jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +392,13 @@ def _post_diff(payload, nops, od2, st2, ex, sh, d2rx, fslm, k_dop, *,
     Returns ``(out, wf)``: the six output rows per rx stacked [6*nrx, B]
     and the write-mask scale rows [nrx, B].
     """
+    if not spec.grad_positions:
+        od2 = jax.lax.stop_gradient(od2)
+        ex = jax.lax.stop_gradient(ex)
+        sh = jax.lax.stop_gradient(sh)
+        d2rx = jax.lax.stop_gradient(d2rx)
+        fslm = jax.lax.stop_gradient(fslm)
+        k_dop = jax.lax.stop_gradient(k_dop)
     d2 = od2[0:3]
     geo = payload[0:_GEOM]
     if not spec.grad_geometry:
@@ -459,14 +495,20 @@ def _post_fwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
 def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
                      ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
                      excl_ref, live_ref, to_ref, io_ref, dout_ref,
-                     dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref,
-                     dtab_ref, dsc_ref, *, spec: FusedSpec, t: int):
+                     *outs, spec: FusedSpec, t: int):
+    if spec.grad_positions:
+        (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref, dtab_ref,
+         dsc_ref) = outs
+    else:
+        dst2_ref, dtab_ref = outs
+        dod2_ref = dex_ref = dsh_ref = dd2rx_ref = dsc_ref = None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
-        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        if dsc_ref is not None:
+            dsc_ref[...] = jnp.zeros_like(dsc_ref)
 
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
@@ -496,11 +538,7 @@ def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
     (d_payload, d_nops, d_od2, d_st2, d_ex, d_sh, d_d2rx, d_fslm,
      d_kdop) = vjpfn((dout_ref[...], dwf))
 
-    dod2_ref[...] = d_od2
     dst2_ref[...] = d_st2
-    dex_ref[...] = d_ex
-    dsh_ref[...] = d_sh
-    dd2rx_ref[...] = d_d2rx
     dtab = _scatter_add_tile(safe, d_payload, t)
     if spec.grad_geometry and spec.parity == "reference":
         # occluder-normal cotangents scatter into the table's normal columns
@@ -511,11 +549,16 @@ def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
             dtab += jnp.concatenate(
                 [zc, dn, jnp.zeros((t, 15), jnp.float32)], axis=1)
     dtab_ref[...] += dtab
-    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
-    dsc_ref[...] += jnp.where(
-        (row == 0) & (lane == 0), d_fslm,
-        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+    if spec.grad_positions:
+        dod2_ref[...] = d_od2
+        dex_ref[...] = d_ex
+        dsh_ref[...] = d_sh
+        dd2rx_ref[...] = d_d2rx
+        lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+        dsc_ref[...] += jnp.where(
+            (row == 0) & (lane == 0), d_fslm,
+            jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -627,40 +670,56 @@ def _bounce_pre_bwd_vjp(spec, res, cots):
                     jnp.asarray(k_dop, jnp.float32).reshape(())])
     nrx = spec.nrx
     rx_rows = _round_up(max(nrx, 8), 8)
-    shapes = [
-        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od
-        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st
-        jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
-        jax.ShapeDtypeStruct((rx_rows, 128), jnp.float32),    # d_rxp acc
-        jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc acc
-    ]
     acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+    fixed_in = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
+                _row(8, block), _row(6, block), _row(1, block),
+                _row(1, block)]
+    fixed_ops = (sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
+    if spec.grad_positions:
+        shapes = [
+            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),      # d_od
+            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
+            jax.ShapeDtypeStruct((t, c), jnp.float32),          # d_table
+            jax.ShapeDtypeStruct((rx_rows, 128), jnp.float32),  # d_rxp acc
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),        # d_sc acc
+        ]
+        in_specs = fixed_in + [_row(8, block), _row(6, block),
+                               _row(3, block), _row(nrx * 8, block),
+                               _row(nrx, block)]
+        ops = fixed_ops + (_pad_rows(d_od2, r_pad), _pad_rows(d_st2, r_pad),
+                           _pad_rows(d_ex, r_pad), _pad_rows(d_sh, r_pad),
+                           _pad_rows(d_d2rx, r_pad))
+        out_specs = [_row(8, block), _row(6, block), acc((t, c)),
+                     acc((rx_rows, 128)), acc((8, 128))]
+    else:
+        shapes = [
+            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
+            jax.ShapeDtypeStruct((t, c), jnp.float32),          # d_table
+        ]
+        in_specs = fixed_in + [_row(6, block)]
+        ops = fixed_ops + (_pad_rows(d_st2, r_pad),)
+        out_specs = [_row(6, block), acc((t, c))]
     outs = pl.pallas_call(
         functools.partial(_pre_bwd_kernel, spec=spec, t=t),
         grid=(r_pad // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
-                  _row(8, block), _row(6, block), _row(1, block),
-                  _row(1, block),
-                  _row(8, block), _row(6, block), _row(3, block),
-                  _row(nrx * 8, block), _row(nrx, block)],
-        out_specs=[_row(8, block), _row(6, block), acc((t, c)),
-                   acc((rx_rows, 128)), acc((8, 128))],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=spec.interpret,
-    )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p,
-      _pad_rows(d_od2, r_pad), _pad_rows(d_st2, r_pad),
-      _pad_rows(d_ex, r_pad), _pad_rows(d_sh, r_pad),
-      _pad_rows(d_d2rx, r_pad))
-    d_od, d_st, d_table, d_rxp_acc, d_sc_acc = outs
-    d_rxp = d_rxp_acc[:nrx, :3]
-    d_fslm = d_sc_acc[0, 0].astype(jnp.float32)
-    d_kdop = d_sc_acc[0, 1].astype(jnp.float32)
-    return (d_od[:, :R], d_st[:, :R], None, None, d_table, d_rxp,
-            d_fslm, d_kdop)
+    )(*ops)
+    if spec.grad_positions:
+        d_od, d_st, d_table, d_rxp_acc, d_sc_acc = outs
+        d_rxp = d_rxp_acc[:nrx, :3]
+        d_fslm = d_sc_acc[0, 0].astype(jnp.float32)
+        d_kdop = d_sc_acc[0, 1].astype(jnp.float32)
+        return (d_od[:, :R], d_st[:, :R], None, None, d_table, d_rxp,
+                d_fslm, d_kdop)
+    d_st, d_table = outs
+    return (None, d_st[:, :R], None, None, d_table, None, None, None)
 
 
 bounce_pre.defvjp(_bounce_pre_fwd_vjp, _bounce_pre_bwd_vjp)
@@ -741,17 +800,27 @@ def _bounce_post_bwd(spec, res, cots):
         idx_o, table, fslm, k_dop)
     nrx = spec.nrx
     block = spec.block
-    shapes = [
-        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od2
-        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
-        jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # d_ex
-        jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # d_sh
-        jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d_d2rx
-        jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
-        jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc acc
-    ]
     acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+    if spec.grad_positions:
+        shapes = [
+            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od2
+            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
+            jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # d_ex
+            jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # d_sh
+            jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d_d2rx
+            jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc
+        ]
+        out_specs = [_row(8, block), _row(6, block), _row(3, block),
+                     _row(nrx * 8, block), _row(nrx, block), acc((t, c)),
+                     acc((8, 128))]
+    else:
+        shapes = [
+            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
+            jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
+        ]
+        out_specs = [_row(6, block), acc((t, c))]
     outs = pl.pallas_call(
         functools.partial(_post_bwd_kernel, spec=spec, t=t),
         grid=(r_pad // block,),
@@ -761,20 +830,22 @@ def _bounce_post_bwd(spec, res, cots):
                   _row(nrx, block), _row(1, block), _row(1, block),
                   _row(nrx, block), _row(nrx, block),
                   _row(nrx * 6, block)],
-        out_specs=[_row(8, block), _row(6, block), _row(3, block),
-                   _row(nrx * 8, block), _row(nrx, block), acc((t, c)),
-                   acc((8, 128))],
+        out_specs=out_specs,
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=spec.interpret,
     )(*ops, _pad_rows(d_out, r_pad))
-    d_od2, d_st2, d_ex, d_sh, d_d2rx, d_table, d_sc_acc = outs
     cut = lambda x: x[:, :R]
-    return (cut(d_od2), cut(d_st2), cut(d_ex), cut(d_sh), cut(d_d2rx),
-            None, None, None, None, None, None, d_table,
-            d_sc_acc[0, 0].astype(jnp.float32),
-            d_sc_acc[0, 1].astype(jnp.float32))
+    if spec.grad_positions:
+        d_od2, d_st2, d_ex, d_sh, d_d2rx, d_table, d_sc_acc = outs
+        return (cut(d_od2), cut(d_st2), cut(d_ex), cut(d_sh), cut(d_d2rx),
+                None, None, None, None, None, None, d_table,
+                d_sc_acc[0, 0].astype(jnp.float32),
+                d_sc_acc[0, 1].astype(jnp.float32))
+    d_st2, d_table = outs
+    return (None, cut(d_st2), None, None, None, None, None, None, None,
+            None, None, d_table, None, None)
 
 
 bounce_post.defvjp(_bounce_post_fwd, _bounce_post_bwd)

@@ -873,6 +873,7 @@ def trace_paths(tris: TriangleSoA,
         from .ops.bounce_fused import FusedSpec, od_rows_from_vectors
         spec = FusedSpec(nrx=nrx, parity=cfg.parity,
                          grad_geometry=cfg.grad_geometry,
+                         grad_positions=cfg.grad_positions,
                          eps_o=cfg.occlusion_offset,
                          interpret=jax.default_backend() != "tpu")
         (o0_, d0_, ate_re0, ate_im0, atm_re0, atm_im0, tau0, act0, freq0,

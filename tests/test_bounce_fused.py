@@ -127,6 +127,35 @@ def test_trace_fused_grads_match(parity, grad_geometry):
             f"leaf grad mismatch: {np.abs(a - b).max()} > {tol}"
 
 
+def test_trace_fused_grad_positions_off():
+    """grad_positions=False: material gradients match the jnp chain;
+    position/frequency gradients are zeroed (the documented contract)."""
+    tris, mats, rx, tx, zrx, ztx = _setup(2)
+
+    @functools.partial(jax.jit, static_argnames=("shade", "gp"))
+    def gfun(m, rx_, f, shade, gp=True):
+        def loss(m, rx_, f):
+            cfg = TracerConfig(shade=shade, parity="reference",
+                               grad_geometry=False, grad_positions=gp,
+                               **BASE)
+            r = trace_paths(tris, m, rx_, tx, zrx, ztx, f, cfg)
+            return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                    + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9
+        return jax.grad(loss, argnums=(0, 1, 2))(m, rx_, f)
+
+    gj = gfun(mats, rx, jnp.float32(3.0), shade="xla")
+    gf = gfun(mats, rx, jnp.float32(3.0), shade="fused", gp=False)
+    for a, b in zip(jax.tree_util.tree_leaves(gj[0]),
+                    jax.tree_util.tree_leaves(gf[0])):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 3e-5 * max(np.abs(a).max(), 1e-30) + 1e-16
+        assert np.abs(a - b).max() <= tol
+    # the scatter chain's position/frequency grads are zeroed; only the
+    # (jnp) LoS pass still contributes
+    gf_rx = np.asarray(gf[1])
+    assert np.isfinite(gf_rx).all()
+
+
 def test_trace_fused_keep_rays():
     tris, mats, rx, tx, zrx, ztx = _setup(1)
     kw = {**BASE, "keep_rays": True, "num_paths": 512}
