@@ -105,34 +105,59 @@ def od_rows_from_vectors(o, d):
 # ---------------------------------------------------------------------------
 # in-kernel exact payload fetch (the pallas_onehot_fetch contraction inline)
 
+def _oht_bf16(idx_row, t):
+    """[T, B] bf16 one-hot from a [1, B] clamped index row (a sublane iota
+    compare — exact: 0/1 are bf16-representable).  Built ONCE per fetch or
+    scatter-add: the limb structure lives on the OTHER (row) operand axis,
+    so the VPU compare/convert work is 1/3 of the first design's stacked
+    [3T, B] iota."""
+    b = idx_row.shape[-1]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
+    return (idx_row == iota_t).astype(jnp.bfloat16)
+
+
 def _fetch_rows(limbs, idx_row, t):
-    """``table[idx]`` rows [C, B] from the [C, 3T] bf16 limb table and a
-    [1, B] clamped index row — one exact native-bf16 MXU pass (each output
-    element sums the three bf16 limbs of one f32 entry in the f32
-    accumulator; see ops/fetch_pallas.py)."""
-    b = idx_row.shape[-1]
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
-    iota3 = jnp.concatenate([iota_t, iota_t, iota_t], axis=0)   # [3T, B]
-    oht = (idx_row == iota3).astype(jnp.bfloat16)
-    return jnp.dot(limbs, oht, preferred_element_type=jnp.float32)
+    """``table[idx]`` rows [C, B] from the [3C, T] bf16 limb table (limb
+    groups stacked on ROWS) and a [1, B] clamped index row — one exact
+    native-bf16 MXU pass per limb structure: each [3C, B] output element is
+    a single ``1.0 * limb`` product accumulated in f32; summing the three
+    C-row groups reconstructs the f32 row bit-exactly (ops/fetch.py)."""
+    oht = _oht_bf16(idx_row, t)                                 # [T, B]
+    y = jnp.dot(limbs, oht, preferred_element_type=jnp.float32)  # [3C, B]
+    c = limbs.shape[0] // 3
+    return y[0:c] + y[c:2 * c] + y[2 * c:]
 
 
-def _oht_f32(idx_row, t):
-    """Transposed f32 one-hot [T, B] for the backward scatter-add."""
-    b = idx_row.shape[-1]
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
-    return (idx_row == iota_t).astype(jnp.float32)
+def _split3_kernel(x):
+    """In-kernel 3-limb bf16 split (no barriers needed under Mosaic —
+    validated in ops/fetch_pallas.py)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
 
 
 def _scatter_add_tile(idx_row, d_payload, t):
-    """Exact per-tile table cotangent: ``one_hot(idx)^T @ d_payload^T`` as a
-    HIGHEST dot_general contracting the ray axis (no transpose op; exact
-    because the one-hot is single-limb — see ops/fetch_pallas._bwd_kernel)."""
-    oht = _oht_f32(idx_row, t)                                  # [T, B]
+    """Per-tile table cotangent in ONE native-bf16 MXU pass: the cotangent
+    rows split exactly into three bf16 limbs (stacked on rows), the one-hot
+    is single-limb, so every product is exact and accumulates in f32 —
+    the same limb-group trick as the forward fetch, 6x less MXU work than
+    the HIGHEST f32 form (which measured ~1 ms per backward kernel,
+    probe_r4b).  Returns [T, 3C]; the CALLER sums the three C-column groups
+    (in XLA — a lane-axis slice at a non-128 offset would relayout
+    in-kernel)."""
+    oht = _oht_bf16(idx_row, t)                                 # [T, B]
+    g_limbs = jnp.concatenate(_split3_kernel(d_payload), axis=0)  # [3C, B]
     return jax.lax.dot_general(
-        oht, d_payload, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                    # [T, C]
+        oht, g_limbs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [T, 3C]
+
+
+def _sum_limb_groups(y3):
+    """[T, 3C] f32 -> [T, C] exact limb-group reconstruction (XLA side)."""
+    c = y3.shape[-1] // 3
+    return y3[:, 0:c] + y3[:, c:2 * c] + y3[:, 2 * c:]
 
 
 def _eta_rows(payload):
@@ -243,7 +268,12 @@ def _pre_diff(payload, od, st, rxp, fslm, k_dop, *, live, spec: FusedSpec):
     sh = jnp.concatenate(sh_rows, axis=0)       # [nrx*8, B]
     d2rx_s = jnp.concatenate(d2rx_rows, axis=0)  # [nrx, B]
     dsn = jnp.concatenate(dsn_rows, axis=0)      # [nrx, B]
-    return od2, st2, ex, sh, d2rx_s, dsn, dint
+    # backward residuals for the slim (grad_positions=False) path: the
+    # incidence trig + free-space factor at which _pre_light re-evaluates
+    # the Fresnel chain — saved so the backward recomputes nothing else
+    res = jax.lax.stop_gradient(
+        jnp.concatenate([cos_t1, sin_t1, fscale], axis=0))      # [3, B]
+    return od2, st2, ex, sh, d2rx_s, dsn, dint, res
 
 
 def _pre_nondiff(dsn, dint, idx, live, spec: FusedSpec):
@@ -266,7 +296,7 @@ def _read_rxp(rxp_ref, nrx):
 
 def _pre_fwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
                     idx_ref, od2_ref, st2_ref, ex_ref, sh_ref, d2rx_ref,
-                    tself_ref, cross_ref, excl_ref, live_ref, *,
+                    tself_ref, cross_ref, excl_ref, live_ref, res_ref, *,
                     spec: FusedSpec, t: int):
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
@@ -277,11 +307,12 @@ def _pre_fwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
     safe = jnp.maximum(idx, 0)
     payload = _fetch_rows(limbs_ref[...], safe, t)
 
-    od2, st2, ex, sh, d2rx, dsn, dint = _pre_diff(
+    od2, st2, ex, sh, d2rx, dsn, dint, res = _pre_diff(
         payload, od_ref[...], st_ref[...], rxp, fslm, k_dop,
         live=live, spec=spec)
     t_self, crossing, excl = _pre_nondiff(dsn, dint, idx, live, spec)
 
+    res_ref[...] = res
     od2_ref[...] = od2
     st2_ref[...] = st2
     ex_ref[...] = ex
@@ -298,28 +329,68 @@ def _acc_pad(x, rows, lanes=128):
     return jnp.pad(x, ((0, rows - x.shape[0]), (0, lanes - x.shape[1])))
 
 
-def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
-                    idx_ref, *refs, spec: FusedSpec, t: int):
-    nrx = spec.nrx
-    if spec.grad_positions:
-        (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref,
-         dod_ref, dst_ref, dtab_ref, drxp_ref, dsc_ref) = refs
-    else:
-        # positions/scalars are static constants of the backward: their
-        # cotangent chains dissolved at trace time (stop_grads in
-        # _pre_diff), their incoming cotangents are structural zeros (the
-        # post stage returns None for them) — neither is shipped
-        dst2_ref, dst_ref, dtab_ref = refs
-        dod2_ref = dex_ref = dsh_ref = dd2rx_ref = None
-        dod_ref = drxp_ref = dsc_ref = None
+def _pre_light(payload, st, *, live, cos_t1, sin_t1, fscale):
+    """Light backward core for the slim (grad_positions=False) path: the
+    ONLY part of the pre-stage whose cotangents survive — ITU Fresnel at
+    the SAVED incidence residuals, the complex amplitude update, and the
+    identity tau/freq carries (additive constants dropped: they do not
+    change the transpose)."""
+    eta = _eta_rows(payload)
+    r_te_re, r_te_im, r_tm_re, r_tm_im = refl_coefs(eta, cos_t1, sin_t1)
+    r_te_re, r_te_im = r_te_re * fscale, r_te_im * fscale
+    r_tm_re, r_tm_im = r_tm_re * fscale, r_tm_im * fscale
+    ate_re, ate_im = st[0:1], st[1:2]
+    atm_re, atm_im = st[2:3], st[3:4]
+    new_ate_re = ate_re * r_te_re - ate_im * r_te_im
+    new_ate_im = ate_re * r_te_im + ate_im * r_te_re
+    new_atm_re = atm_re * r_tm_re - atm_im * r_tm_im
+    new_atm_im = atm_re * r_tm_im + atm_im * r_tm_re
+    return jnp.concatenate([
+        jnp.where(live, new_ate_re, ate_re),
+        jnp.where(live, new_ate_im, ate_im),
+        jnp.where(live, new_atm_re, atm_re),
+        jnp.where(live, new_atm_im, atm_im),
+        st[4:5], st[5:6],
+    ], axis=0)
+
+
+def _pre_bwd_slim_kernel(limbs_ref, st_ref, act_ref, idx_ref, res_ref,
+                         dst2_ref, dst_ref, dtab_ref, *, spec: FusedSpec,
+                         t: int):
+    """Slim pre backward: vjp of :func:`_pre_light` at the saved residual
+    rows (res = cos_t1, sin_t1, fscale) — no geometric recompute at all."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
-        if drxp_ref is not None:
-            drxp_ref[...] = jnp.zeros_like(drxp_ref)
-            dsc_ref[...] = jnp.zeros_like(dsc_ref)
+
+    idx = idx_ref[...]
+    act = act_ref[...] != 0
+    live = act & (idx >= 0)
+    safe = jnp.maximum(idx, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+    res = res_ref[...]
+    f = functools.partial(_pre_light, live=live, cos_t1=res[0:1],
+                          sin_t1=res[1:2], fscale=res[2:3])
+    _, vjpfn = jax.vjp(f, payload, st_ref[...])
+    d_payload, d_st = vjpfn(dst2_ref[...])
+    dst_ref[...] = d_st
+    dtab_ref[...] += _scatter_add_tile(safe, d_payload, t)
+
+
+def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
+                    idx_ref, *refs, spec: FusedSpec, t: int):
+    nrx = spec.nrx
+    (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref,
+     dod_ref, dst_ref, dtab_ref, drxp_ref, dsc_ref) = refs
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+        drxp_ref[...] = jnp.zeros_like(drxp_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
 
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
@@ -334,21 +405,19 @@ def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
     _, vjpfn = jax.vjp(f, payload, od_ref[...], st_ref[...], rxp, fslm,
                        k_dop)
     zrow = lambda k: jnp.zeros((k,) + idx.shape[1:], jnp.float32)
-    rd = lambda ref, k: zrow(k) if ref is None else ref[...]
     d_payload, d_od, d_st, d_rxp, d_fslm, d_kdop = vjpfn(
-        (rd(dod2_ref, 8), dst2_ref[...], rd(dex_ref, 3),
-         rd(dsh_ref, nrx * 8), rd(dd2rx_ref, nrx), zrow(nrx), zrow(1)))
+        (dod2_ref[...], dst2_ref[...], dex_ref[...],
+         dsh_ref[...], dd2rx_ref[...], zrow(nrx), zrow(1), zrow(3)))
 
     dst_ref[...] = d_st
     dtab_ref[...] += _scatter_add_tile(safe, d_payload, t)
-    if spec.grad_positions:
-        dod_ref[...] = d_od
-        drxp_ref[...] += _acc_pad(d_rxp, drxp_ref.shape[0])
-        lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
-        dsc_ref[...] += jnp.where(
-            (row == 0) & (lane == 0), d_fslm,
-            jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+    dod_ref[...] = d_od
+    drxp_ref[...] += _acc_pad(d_rxp, drxp_ref.shape[0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+    dsc_ref[...] += jnp.where(
+        (row == 0) & (lane == 0), d_fslm,
+        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +482,7 @@ def _post_diff(payload, nops, od2, st2, ex, sh, d2rx, fslm, k_dop, *,
     tau2, freq2 = st2[4:5], st2[5:6]
 
     th_c, cos_c = theta, cos_t1
-    outs, wfs = [], []
+    outs, wfs, res_rows = [], [], []
     for k in range(spec.nrx):
         ds = sh[8 * k:8 * k + 3]
         d2rx_k = d2rx[k:k + 1]
@@ -458,13 +527,75 @@ def _post_diff(payload, nops, od2, st2, ex, sh, d2rx, fslm, k_dop, *,
             [out_te_re * wf, out_te_im * wf, out_tm_re * wf,
              out_tm_im * wf, out_tau, out_freq], axis=0))
         wfs.append(wf)
-    return jnp.concatenate(outs, axis=0), jnp.concatenate(wfs, axis=0)
+        # slim-backward residuals: the (constant under grad_positions=False)
+        # angle quantities + write scale at which _post_light re-evaluates
+        # only the scattering-coefficient chain
+        res_rows.append(jnp.concatenate(
+            [theta_s, jnp.broadcast_to(theta_i, theta_s.shape),
+             cos_ts, jnp.broadcast_to(cos_ti, theta_s.shape),
+             jnp.broadcast_to(sin_ti, theta_s.shape), wf], axis=0))
+    res = jax.lax.stop_gradient(jnp.concatenate(res_rows, axis=0))
+    return (jnp.concatenate(outs, axis=0), jnp.concatenate(wfs, axis=0),
+            res)
+
+
+def _post_light(payload, st2, *, res, spec: FusedSpec):
+    """Light backward core for the slim (grad_positions=False) post path:
+    directive scattering coefficients re-evaluated at the SAVED angle
+    residuals (res rows per rx: theta_s, theta_i, cos_ts, cos_ti, sin_ti,
+    wf), the complex amplitude multiply, the masked tau carry and the freq
+    identity (additive constants dropped: they do not change the
+    transpose).  Geometry columns of ``payload`` are untouched, so their
+    cotangent rows are structurally zero."""
+    eta = _eta_rows(payload)
+    ate_re, ate_im = st2[0:1], st2[1:2]
+    atm_re, atm_im = st2[2:3], st2[3:4]
+    tau2, freq2 = st2[4:5], st2[5:6]
+    outs = []
+    for k in range(spec.nrx):
+        r = res[6 * k:6 * k + 6]
+        theta_s, theta_i = r[0:1], r[1:2]
+        cos_ts, cos_ti, sin_ti = r[2:3], r[3:4], r[4:5]
+        wf = r[5:6]
+        s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
+            theta_s, theta_i, eta.s, eta.s1_alpha,
+            cos_ts=cos_ts, cos_ti=cos_ti, sin_ti=sin_ti)
+        out_te_re = ate_re * s_te_re - ate_im * s_te_im
+        out_te_im = ate_re * s_te_im + ate_im * s_te_re
+        out_tm_re = atm_re * s_tm_re - atm_im * s_tm_im
+        out_tm_im = atm_re * s_tm_im + atm_im * s_tm_re
+        out_tau = jnp.where(wf > 0, tau2, 0.0)
+        outs.append(jnp.concatenate(
+            [out_te_re * wf, out_te_im * wf, out_tm_re * wf,
+             out_tm_im * wf, out_tau, freq2], axis=0))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _post_bwd_slim_kernel(limbs_ref, st2_ref, excl_ref, res_ref, dout_ref,
+                          dst2_ref, dtab_ref, *, spec: FusedSpec, t: int):
+    """Slim post backward: vjp of :func:`_post_light` at the saved angle
+    residuals — no geometric or occlusion recompute at all (the decisions
+    are folded into the saved ``wf``)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    excl = excl_ref[...]
+    safe = jnp.maximum(excl, 0)
+    payload = _fetch_rows(limbs_ref[...], safe, t)
+    f = functools.partial(_post_light, res=res_ref[...], spec=spec)
+    _, vjpfn = jax.vjp(f, payload, st2_ref[...])
+    d_payload, d_st2 = vjpfn(dout_ref[...])
+    dst2_ref[...] = d_st2
+    dtab_ref[...] += _scatter_add_tile(safe, d_payload, t)
 
 
 def _post_fwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
                      ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
                      excl_ref, live_ref, to_ref, io_ref, out_ref, write_ref,
-                     *, spec: FusedSpec, t: int):
+                     res_ref, *, spec: FusedSpec, t: int):
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
     live = live_ref[...] != 0
@@ -484,31 +615,27 @@ def _post_fwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
     else:
         nops = jnp.zeros((3 * spec.nrx,) + excl.shape[1:], jnp.float32)
 
-    out, wf = _post_diff(payload, nops, od2_ref[...], st2_ref[...],
-                         ex_ref[...], sh_ref[...], d2rx_ref[...], fslm,
-                         k_dop, live=live, blocked=blocked,
-                         occl_hit=occl_hit, spec=spec)
+    out, wf, res = _post_diff(payload, nops, od2_ref[...], st2_ref[...],
+                              ex_ref[...], sh_ref[...], d2rx_ref[...], fslm,
+                              k_dop, live=live, blocked=blocked,
+                              occl_hit=occl_hit, spec=spec)
     out_ref[...] = out
     write_ref[...] = (wf > 0).astype(jnp.int32)
+    res_ref[...] = res
 
 
 def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
                      ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
                      excl_ref, live_ref, to_ref, io_ref, dout_ref,
                      *outs, spec: FusedSpec, t: int):
-    if spec.grad_positions:
-        (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref, dtab_ref,
-         dsc_ref) = outs
-    else:
-        dst2_ref, dtab_ref = outs
-        dod2_ref = dex_ref = dsh_ref = dd2rx_ref = dsc_ref = None
+    (dod2_ref, dst2_ref, dex_ref, dsh_ref, dd2rx_ref, dtab_ref,
+     dsc_ref) = outs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
-        if dsc_ref is not None:
-            dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
 
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
@@ -533,32 +660,33 @@ def _post_bwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
                           occl_hit=occl_hit, spec=spec)
     _, vjpfn = jax.vjp(f, payload, nops, od2_ref[...], st2_ref[...],
                        ex_ref[...], sh_ref[...], d2rx_ref[...], fslm, k_dop)
-    # cotangents: the six output rows per rx; the wf rows carry none
-    dwf = jnp.zeros((spec.nrx,) + excl.shape[1:], jnp.float32)
+    # cotangents: the six output rows per rx; wf and the slim residual rows
+    # carry none (wf is re-derived, res is stop-gradded)
+    zrow = lambda k: jnp.zeros((k,) + excl.shape[1:], jnp.float32)
     (d_payload, d_nops, d_od2, d_st2, d_ex, d_sh, d_d2rx, d_fslm,
-     d_kdop) = vjpfn((dout_ref[...], dwf))
+     d_kdop) = vjpfn((dout_ref[...], zrow(spec.nrx), zrow(6 * spec.nrx)))
 
     dst2_ref[...] = d_st2
     dtab = _scatter_add_tile(safe, d_payload, t)
     if spec.grad_geometry and spec.parity == "reference":
-        # occluder-normal cotangents scatter into the table's normal columns
-        zc = jnp.zeros((t, 9), jnp.float32)
+        # occluder-normal cotangents scatter into the table's normal
+        # columns: pad each rx's [3, B] normal cotangent to full payload
+        # rows (a sublane concat) and reuse the limb scatter
         for k in range(spec.nrx):
-            dn = _scatter_add_tile(safe_o[k:k + 1],
-                                   d_nops[3 * k:3 * k + 3], t)  # [T, 3]
-            dtab += jnp.concatenate(
-                [zc, dn, jnp.zeros((t, 15), jnp.float32)], axis=1)
+            dpn = jnp.concatenate(
+                [zrow(_GEOM - 6), d_nops[3 * k:3 * k + 3], zrow(15)],
+                axis=0)
+            dtab += _scatter_add_tile(safe_o[k:k + 1], dpn, t)
     dtab_ref[...] += dtab
-    if spec.grad_positions:
-        dod2_ref[...] = d_od2
-        dex_ref[...] = d_ex
-        dsh_ref[...] = d_sh
-        dd2rx_ref[...] = d_d2rx
-        lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
-        dsc_ref[...] += jnp.where(
-            (row == 0) & (lane == 0), d_fslm,
-            jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
+    dod2_ref[...] = d_od2
+    dex_ref[...] = d_ex
+    dsh_ref[...] = d_sh
+    dd2rx_ref[...] = d_d2rx
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+    dsc_ref[...] += jnp.where(
+        (row == 0) & (lane == 0), d_fslm,
+        jnp.where((row == 0) & (lane == 1), d_kdop, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -574,9 +702,10 @@ def _whole():
 
 
 def _limb_table(table):
-    """[T, C] f32 -> [C, 3T] bf16 limb rows (XLA-side barriered split)."""
+    """[T, C] f32 -> [3C, T] bf16 limb rows, limb groups stacked on ROWS
+    (XLA-side barriered split; see _fetch_rows for the layout rationale)."""
     from .fetch import _split3_bf16
-    return jnp.concatenate(_split3_bf16(table.T), axis=-1)
+    return jnp.concatenate(_split3_bf16(table.T), axis=0)
 
 
 def _pad_rows(x, r_pad, value=0):
@@ -629,6 +758,7 @@ def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
         jax.ShapeDtypeStruct((nrx, r_pad), jnp.int32),        # crossing
         jax.ShapeDtypeStruct((1, r_pad), jnp.int32),          # excl
         jax.ShapeDtypeStruct((1, r_pad), jnp.int32),          # live
+        jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # res (bwd)
     ]
     outs = pl.pallas_call(
         functools.partial(_pre_fwd_kernel, spec=spec, t=t),
@@ -644,7 +774,7 @@ def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
         interpret=spec.interpret,
     )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
     outs = tuple(x[:, :R] for x in outs)
-    return outs, (od, st, act, idx, table, rx_pos)
+    return outs[:-1], (od, st, act, idx, table, rx_pos, outs[-1])
 
 
 def _bounce_pre_fwd_vjp(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
@@ -654,72 +784,80 @@ def _bounce_pre_fwd_vjp(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
 
 
 def _bounce_pre_bwd_vjp(spec, res, cots):
-    od, st, act, idx, table, rx_pos, fslm, k_dop = res
+    od, st, act, idx, table, rx_pos, res_pre, fslm, k_dop = res
     (d_od2, d_st2, d_ex, d_sh, d_d2rx, *_rest) = cots
     t, c = table.shape
     R = od.shape[-1]
     block = spec.block
     r_pad = _round_up(max(R, block), block)
     limbs = _limb_table(table)
-    od_p = _pad_rows(od, r_pad)
     st_p = _pad_rows(st, r_pad)
     act_p = _pad_rows(act.astype(jnp.int32).reshape(1, -1), r_pad)
     idx_p = _pad_rows(jax.lax.stop_gradient(idx).reshape(1, -1), r_pad,
                       value=-1)
-    sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
-                    jnp.asarray(k_dop, jnp.float32).reshape(())])
     nrx = spec.nrx
-    rx_rows = _round_up(max(nrx, 8), 8)
     acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
-    fixed_in = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
-                _row(8, block), _row(6, block), _row(1, block),
-                _row(1, block)]
-    fixed_ops = (sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
-    if spec.grad_positions:
-        shapes = [
-            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),      # d_od
-            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
-            jax.ShapeDtypeStruct((t, c), jnp.float32),          # d_table
-            jax.ShapeDtypeStruct((rx_rows, 128), jnp.float32),  # d_rxp acc
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),        # d_sc acc
-        ]
-        in_specs = fixed_in + [_row(8, block), _row(6, block),
-                               _row(3, block), _row(nrx * 8, block),
-                               _row(nrx, block)]
-        ops = fixed_ops + (_pad_rows(d_od2, r_pad), _pad_rows(d_st2, r_pad),
-                           _pad_rows(d_ex, r_pad), _pad_rows(d_sh, r_pad),
-                           _pad_rows(d_d2rx, r_pad))
-        out_specs = [_row(8, block), _row(6, block), acc((t, c)),
-                     acc((rx_rows, 128)), acc((8, 128))]
-    else:
+
+    if not spec.grad_positions:
+        # slim path: vjp of the Fresnel/amplitude chain only, at the saved
+        # incidence residuals — nothing geometric is recomputed or shipped
         shapes = [
             jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
-            jax.ShapeDtypeStruct((t, c), jnp.float32),          # d_table
+            jax.ShapeDtypeStruct((t, 3 * c), jnp.float32),      # d_tab limbs
         ]
-        in_specs = fixed_in + [_row(6, block)]
-        ops = fixed_ops + (_pad_rows(d_st2, r_pad),)
-        out_specs = [_row(6, block), acc((t, c))]
+        outs = pl.pallas_call(
+            functools.partial(_pre_bwd_slim_kernel, spec=spec, t=t),
+            grid=(r_pad // block,),
+            in_specs=[_whole(), _row(6, block), _row(1, block),
+                      _row(1, block), _row(3, block), _row(6, block)],
+            out_specs=[_row(6, block), acc((t, 3 * c))],
+            out_shape=shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=spec.interpret,
+        )(limbs, st_p, act_p, idx_p, _pad_rows(res_pre, r_pad),
+          _pad_rows(d_st2, r_pad))
+        d_st, d_tab3 = outs
+        return (None, d_st[:, :R], None, None, _sum_limb_groups(d_tab3),
+                None, None, None)
+
+    od_p = _pad_rows(od, r_pad)
+    sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
+                    jnp.asarray(k_dop, jnp.float32).reshape(())])
+    rx_rows = _round_up(max(nrx, 8), 8)
+    shapes = [
+        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),      # d_od
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
+        jax.ShapeDtypeStruct((t, 3 * c), jnp.float32),      # d_tab limbs
+        jax.ShapeDtypeStruct((rx_rows, 128), jnp.float32),  # d_rxp acc
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),        # d_sc acc
+    ]
     outs = pl.pallas_call(
         functools.partial(_pre_bwd_kernel, spec=spec, t=t),
         grid=(r_pad // block,),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
+                  _row(8, block), _row(6, block), _row(1, block),
+                  _row(1, block),
+                  _row(8, block), _row(6, block), _row(3, block),
+                  _row(nrx * 8, block), _row(nrx, block)],
+        out_specs=[_row(8, block), _row(6, block), acc((t, 3 * c)),
+                   acc((rx_rows, 128)), acc((8, 128))],
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=spec.interpret,
-    )(*ops)
-    if spec.grad_positions:
-        d_od, d_st, d_table, d_rxp_acc, d_sc_acc = outs
-        d_rxp = d_rxp_acc[:nrx, :3]
-        d_fslm = d_sc_acc[0, 0].astype(jnp.float32)
-        d_kdop = d_sc_acc[0, 1].astype(jnp.float32)
-        return (d_od[:, :R], d_st[:, :R], None, None, d_table, d_rxp,
-                d_fslm, d_kdop)
-    d_st, d_table = outs
-    return (None, d_st[:, :R], None, None, d_table, None, None, None)
+    )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p,
+      _pad_rows(d_od2, r_pad), _pad_rows(d_st2, r_pad),
+      _pad_rows(d_ex, r_pad), _pad_rows(d_sh, r_pad),
+      _pad_rows(d_d2rx, r_pad))
+    d_od, d_st, d_tab3, d_rxp_acc, d_sc_acc = outs
+    d_rxp = d_rxp_acc[:nrx, :3]
+    d_fslm = d_sc_acc[0, 0].astype(jnp.float32)
+    d_kdop = d_sc_acc[0, 1].astype(jnp.float32)
+    return (d_od[:, :R], d_st[:, :R], None, None, _sum_limb_groups(d_tab3),
+            d_rxp, d_fslm, d_kdop)
 
 
 bounce_pre.defvjp(_bounce_pre_fwd_vjp, _bounce_pre_bwd_vjp)
@@ -770,7 +908,8 @@ def _bounce_post_fwd(spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl,
     nrx = spec.nrx
     block = spec.block
     shapes = [jax.ShapeDtypeStruct((nrx * 6, r_pad), jnp.float32),
-              jax.ShapeDtypeStruct((nrx, r_pad), jnp.int32)]
+              jax.ShapeDtypeStruct((nrx, r_pad), jnp.int32),
+              jax.ShapeDtypeStruct((nrx * 6, r_pad), jnp.float32)]  # res
     outs = pl.pallas_call(
         functools.partial(_post_fwd_kernel, spec=spec, t=t),
         grid=(r_pad // block,),
@@ -779,48 +918,72 @@ def _bounce_post_fwd(spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl,
                   _row(nrx * 8, block), _row(nrx, block), _row(nrx, block),
                   _row(nrx, block), _row(1, block), _row(1, block),
                   _row(nrx, block), _row(nrx, block)],
-        out_specs=[_row(nrx * 6, block), _row(nrx, block)],
+        out_specs=[_row(nrx * 6, block), _row(nrx, block),
+                   _row(nrx * 6, block)],
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=spec.interpret,
     )(*ops)
-    out = tuple(x[:, :R] for x in outs)
+    outs = tuple(x[:, :R] for x in outs)
     res = (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o,
-           idx_o, table, fslm, k_dop)
-    return out, res
+           idx_o, table, fslm, k_dop, outs[-1])
+    return outs[:-1], res
 
 
 def _bounce_post_bwd(spec, res, cots):
     (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o, idx_o,
-     table, fslm, k_dop) = res
+     table, fslm, k_dop, res_post) = res
     d_out, _d_write = cots
+    nrx = spec.nrx
+    block = spec.block
+    t, c = table.shape
+    R = od2.shape[-1]
+    r_pad = _round_up(max(R, block), block)
+    acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    cut = lambda x: x[:, :R]
+
+    if not spec.grad_positions:
+        # slim path: vjp of the scattering/amplitude chain only, at the
+        # saved angle residuals — no occlusion or geometry recompute
+        limbs = _limb_table(table)
+        shapes = [
+            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st2
+            jax.ShapeDtypeStruct((t, 3 * c), jnp.float32),      # d_tab limbs
+        ]
+        outs = pl.pallas_call(
+            functools.partial(_post_bwd_slim_kernel, spec=spec, t=t),
+            grid=(r_pad // block,),
+            in_specs=[_whole(), _row(6, block), _row(1, block),
+                      _row(nrx * 6, block), _row(nrx * 6, block)],
+            out_specs=[_row(6, block), acc((t, 3 * c))],
+            out_shape=shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=spec.interpret,
+        )(limbs, _pad_rows(st2, r_pad),
+          _pad_rows(jax.lax.stop_gradient(excl), r_pad, value=-1),
+          _pad_rows(res_post, r_pad), _pad_rows(d_out, r_pad))
+        d_st2, d_tab3 = outs
+        return (None, cut(d_st2), None, None, None, None, None, None, None,
+                None, None, _sum_limb_groups(d_tab3), None, None)
+
     ops, t, c, R, r_pad = _post_operands(
         spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl, live, t_o,
         idx_o, table, fslm, k_dop)
-    nrx = spec.nrx
-    block = spec.block
-    acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
-    if spec.grad_positions:
-        shapes = [
-            jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od2
-            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
-            jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # d_ex
-            jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # d_sh
-            jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d_d2rx
-            jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc
-        ]
-        out_specs = [_row(8, block), _row(6, block), _row(3, block),
-                     _row(nrx * 8, block), _row(nrx, block), acc((t, c)),
-                     acc((8, 128))]
-    else:
-        shapes = [
-            jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
-            jax.ShapeDtypeStruct((t, c), jnp.float32),            # d_table
-        ]
-        out_specs = [_row(6, block), acc((t, c))]
+    shapes = [
+        jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # d_od2
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # d_st2
+        jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # d_ex
+        jax.ShapeDtypeStruct((nrx * 8, r_pad), jnp.float32),  # d_sh
+        jax.ShapeDtypeStruct((nrx, r_pad), jnp.float32),      # d_d2rx
+        jax.ShapeDtypeStruct((t, 3 * c), jnp.float32),        # d_tab limbs
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),          # d_sc
+    ]
+    out_specs = [_row(8, block), _row(6, block), _row(3, block),
+                 _row(nrx * 8, block), _row(nrx, block), acc((t, 3 * c)),
+                 acc((8, 128))]
     outs = pl.pallas_call(
         functools.partial(_post_bwd_kernel, spec=spec, t=t),
         grid=(r_pad // block,),
@@ -836,16 +999,11 @@ def _bounce_post_bwd(spec, res, cots):
             dimension_semantics=("arbitrary",)),
         interpret=spec.interpret,
     )(*ops, _pad_rows(d_out, r_pad))
-    cut = lambda x: x[:, :R]
-    if spec.grad_positions:
-        d_od2, d_st2, d_ex, d_sh, d_d2rx, d_table, d_sc_acc = outs
-        return (cut(d_od2), cut(d_st2), cut(d_ex), cut(d_sh), cut(d_d2rx),
-                None, None, None, None, None, None, d_table,
-                d_sc_acc[0, 0].astype(jnp.float32),
-                d_sc_acc[0, 1].astype(jnp.float32))
-    d_st2, d_table = outs
-    return (None, cut(d_st2), None, None, None, None, None, None, None,
-            None, None, d_table, None, None)
+    d_od2, d_st2, d_ex, d_sh, d_d2rx, d_tab3, d_sc_acc = outs
+    return (cut(d_od2), cut(d_st2), cut(d_ex), cut(d_sh), cut(d_d2rx),
+            None, None, None, None, None, None, _sum_limb_groups(d_tab3),
+            d_sc_acc[0, 0].astype(jnp.float32),
+            d_sc_acc[0, 1].astype(jnp.float32))
 
 
 bounce_post.defvjp(_bounce_post_fwd, _bounce_post_bwd)
