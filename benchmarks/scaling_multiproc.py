@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Two-process jax.distributed scaling benchmark with a
+communication-free control (VERDICT r3 missing #3 / next-round #6).
+
+Real multi-host hardware is not reachable from this image (one tunneled
+chip), so this is the best available proxy for the >=85%-at-2-hosts
+north star: two REAL processes rendezvous via ``jax.distributed``
+(exactly the production init path, gRPC collectives between processes),
+trace the canyon over the cross-process mesh, and the SAME per-shard
+workload is then re-run with zero cross-process communication (local
+pmap inside each process, both processes running concurrently).  Host
+core contention is identical in both phases (this host has 2 cores), so
+``efficiency_vs_control = control_median / sharded_median`` isolates
+what sharding itself costs: collectives + output replication.
+
+Median of N (default 5) per phase; both workers time independently and
+the parent records both plus the max-across-processes (the step is
+collective-synchronized, so the max is the honest wall).
+
+Usage:  python benchmarks/scaling_multiproc.py          # parent: runs all
+Output: benchmarks/logs/scaling_r4.jsonl (one line per mesh layout)
+"""
+import argparse
+import json
+import os
+import socket
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(args):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}")
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.ops.geometry import fibonacci_sphere
+    from hermespy_rt_tpu.parallel import default_mesh, trace_paths_sharded
+    from hermespy_rt_tpu.parallel.sharding import initialize_distributed
+    from hermespy_rt_tpu.scene import load_hrt, flatten_scene
+    from hermespy_rt_tpu.tracer import trace_paths
+    from jax.experimental import multihost_utils
+
+    pid = args.process_id
+    initialize_distributed(coordinator_address=args.coordinator,
+                           num_processes=2, process_id=pid)
+    n = len(jax.devices())
+    assert n == 2 * args.local_devices, jax.devices()
+
+    tris = flatten_scene(
+        load_hrt("/root/reference/scenes/simple_street_canyon_with_cars.hrt"))
+    mats = default_materials()
+    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    z = jnp.zeros((1, 3), jnp.float32)
+    cfg = TracerConfig(num_paths=args.paths, num_bounces=args.bounces,
+                       backend="auto", keep_rays=False, precision="exact1",
+                       unroll_bounces=False)
+    mesh = default_mesh(num_ray_shards=n)
+
+    def loss_fn(m):
+        r = trace_paths_sharded(tris, m, rx, tx, z, z, jnp.float32(3.0),
+                                cfg, mesh=mesh)
+        return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    out = step(mats)
+    jax.block_until_ready(out)           # compile + warmup (collective)
+    sharded_ms = []
+    for _ in range(args.reps):
+        multihost_utils.sync_global_devices("rep")
+        t0 = time.perf_counter()
+        out = step(mats)
+        jax.block_until_ready(out)
+        sharded_ms.append((time.perf_counter() - t0) * 1e3)
+    loss = float(out[0])
+
+    # ---- communication-free control: same per-shard work, local pmap ----
+    pp = args.paths // n
+    cfg_n = TracerConfig(num_paths=pp, num_bounces=args.bounces,
+                         backend="auto", keep_rays=False, precision="exact1",
+                         unroll_bounces=False)
+    dirs = jnp.asarray(fibonacci_sphere(args.paths)).reshape(n, pp, 3)
+    local = dirs[pid * args.local_devices:(pid + 1) * args.local_devices]
+
+    def local_loss(m, dshard):
+        r = trace_paths(tris, m, rx, tx, z, z, jnp.float32(3.0), cfg_n,
+                        launch_dirs=dshard)
+        return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9
+
+    pstep = jax.pmap(jax.value_and_grad(local_loss),
+                     devices=jax.local_devices())
+    mats_n = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (args.local_devices,) + x.shape), mats)
+    outc = pstep(mats_n, local)
+    jax.block_until_ready(outc)
+    ctrl_ms = []
+    for _ in range(args.reps):
+        multihost_utils.sync_global_devices("ctrl")   # align both processes
+        t0 = time.perf_counter()
+        outc = pstep(mats_n, local)
+        jax.block_until_ready(outc)
+        ctrl_ms.append((time.perf_counter() - t0) * 1e3)
+
+    print("RESULT " + json.dumps(dict(
+        pid=pid, sharded_ms=sharded_ms, ctrl_ms=ctrl_ms, loss=loss)),
+        flush=True)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def parent(args):
+    out_path = os.path.join(REPO, "benchmarks", "logs", "scaling_r4.jsonl")
+    for local_devices in args.layouts:
+        coord = f"localhost:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--process-id", str(i), "--coordinator", coord,
+             "--local-devices", str(local_devices),
+             "--paths", str(args.paths), "--bounces", str(args.bounces),
+             "--reps", str(args.reps)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=3600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise SystemExit("worker timed out")
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                sys.stderr.write(out[-4000:])
+                raise SystemExit(f"worker {i} failed rc={p.returncode}")
+        res = []
+        for out in outs:
+            line = next(l for l in out.splitlines()
+                        if l.startswith("RESULT "))
+            res.append(json.loads(line[len("RESULT "):]))
+
+        n = 2 * local_devices
+        med = statistics.median
+        # collective steps are synchronized: honest wall = max over procs
+        sh = max(med(r["sharded_ms"]) for r in res)
+        ct = max(med(r["ctrl_ms"]) for r in res)
+        spread = max(max(r["sharded_ms"]) / min(r["sharded_ms"])
+                     for r in res)
+        rec = dict(devices=n, processes=2, local_devices=local_devices,
+                   paths=args.paths, bounces=args.bounces, reps=args.reps,
+                   sharded_ms=round(sh, 2), control_ms=round(ct, 2),
+                   efficiency_vs_control=round(ct / sh, 4),
+                   rep_spread=round(spread, 3),
+                   per_proc=[{k: [round(v, 1) for v in r[k]]
+                              for k in ("sharded_ms", "ctrl_ms")}
+                             for r in res],
+                   loss=res[0]["loss"], virtual=True, host_cores=2)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(out_path, "a") as f:
+            f.write(line + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="localhost:9876")
+    ap.add_argument("--local-devices", type=int, default=1)
+    ap.add_argument("--paths", type=int, default=1 << 16)
+    ap.add_argument("--bounces", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--layouts", type=int, nargs="+", default=[1, 2],
+                    help="local devices per process (2 processes each)")
+    args = ap.parse_args()
+    if args.worker:
+        worker(args)
+    else:
+        parent(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,15 +113,15 @@ class TriShardedSceneAccess:
 
     def fetch(self, idx_safe):
         li, mine = self._owned(idx_safe)
-        loc = self.local.fetch(li)
-        minef = mine.astype(jnp.float32)
-
-        def sel(x):
-            m = minef[..., None] if x.ndim == mine.ndim + 1 else minef
-            return jax.lax.psum(x * m, self.axis)
-
-        # loc is a pytree (payload dict + nested EtaPrecomputed), all float
-        return jax.tree.map(sel, loc)
+        # ONE collective for the whole 27-column payload: psum the fused
+        # [..., 27] row (masked to the owning shard) and split afterwards,
+        # instead of 17 per-leaf psums (5 vec3 + 12 eta) through the split
+        # pytree — same values, same gradients (stop_gradient commutes with
+        # psum), 1/17th the collective launches per bounce.
+        row = self.local._rows(li)
+        row = jax.lax.psum(row * mine.astype(jnp.float32)[..., None],
+                           self.axis)
+        return self.local.split_rows(row)
 
     def normal_at(self, idx_safe):
         li, mine = self._owned(idx_safe)

@@ -225,7 +225,11 @@ class LocalSceneAccess:
             out["eta"] = EtaPrecomputed(**{
                 f: rowt[_GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
             return out
-        row = self._rows(idx_safe)
+        return self.split_rows(self._rows(idx_safe))
+
+    def split_rows(self, row) -> Dict[str, jax.Array]:
+        """[..., 27] fused payload rows -> the fetch dict (geometry behind
+        ``stop_gradient`` unless ``cfg.grad_geometry``)."""
         geo = row if self._grad_geometry else jax.lax.stop_gradient(row)
         out = dict(v0=geo[..., 0:3], e1=geo[..., 3:6], e2=geo[..., 6:9],
                    normal=geo[..., 9:12], velocity=geo[..., 12:15])
