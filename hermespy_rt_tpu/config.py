@@ -188,6 +188,14 @@ class TracerConfig:
     # reflect -> RX.  Costs sampling density: each pure-reflection pattern
     # keeps num_paths / 2**num_bounces rays.
     spawn_transmission: bool = False
+    # Continuation geometry for "transmit" interactions (spawn_transmission
+    # only).  "straight": pass through unchanged — the ITU building-entry
+    # slab model (a thin wall refracts in and out; the exit ray is parallel
+    # to the incident one).  "snell": bend by Snell's law at the interface
+    # (air -> medium, n = Re(sqrt(eta))) — the single-interface model the
+    # reference left unimplemented (/root/reference/src/compute_paths.c:725-728).
+    # Differentiable w.r.t. the material table through the bent direction.
+    refraction: str = "straight"
 
     @property
     def resolved_launch_order(self) -> str:
@@ -249,3 +257,9 @@ class TracerConfig:
             raise ValueError("spawn_transmission=True requires "
                              "parity='physical' (the reference has no "
                              "refraction branch to be parity-faithful to)")
+        if self.refraction not in ("straight", "snell"):
+            raise ValueError("refraction must be 'straight' or 'snell', "
+                             f"got {self.refraction!r}")
+        if self.refraction == "snell" and not self.spawn_transmission:
+            raise ValueError("refraction='snell' only affects transmitted "
+                             "continuations; enable spawn_transmission=True")

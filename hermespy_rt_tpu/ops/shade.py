@@ -57,7 +57,8 @@ def _round_up(x, m):
 
 
 def shade_a_jnp(o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, live,
-                hit, eta, fslm, k_dop, transmit=None):
+                hit, eta, fslm, k_dop, transmit=None,
+                refraction="straight"):
     """Reference (jnp) bounce shading, reflection half — exactly the ops the
     tracer ran inline pre-r3, same order (golden parity pinned by the
     oracle suite): differentiable hit distance from the gathered triangle,
@@ -114,7 +115,24 @@ def shade_a_jnp(o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, live,
     hitp = o + t[:, None] * d
     d_ref = reflect3(d, n)
     if transmit is not None:
-        d_ref = jnp.where(transmit[:, None], d, d_ref)
+        if refraction == "snell":
+            # Snell-bent continuation at a single air->medium interface
+            # (the branch the reference left as a TODO,
+            # /root/reference/src/compute_paths.c:725-728).  n_medium =
+            # Re(sqrt(eta)) >= 1 for every ITU material, so mu = 1/n <= 1
+            # and total internal reflection cannot occur on entry.  The
+            # oriented normal points against the incident ray; at exact
+            # grazing (ndot == 0) the formula degrades to an in-plane
+            # continuation, which `live` geometry never produces.
+            mu = 1.0 / jnp.maximum(eta.eta_sqrt_re, 1.0)
+            sgn = jnp.where(ndot >= 0.0, -1.0, 1.0)
+            n_in = sgn[:, None] * n
+            cos_t2 = jnp.sqrt(jnp.maximum(
+                1.0 - mu * mu * (1.0 - cos_t1 * cos_t1), 0.0))
+            d_t = mu[:, None] * d + (mu * cos_t1 - cos_t2)[:, None] * n_in
+            d_ref = jnp.where(transmit[:, None], d_t, d_ref)
+        else:
+            d_ref = jnp.where(transmit[:, None], d, d_ref)
     o_ref = hitp + jnp.float32(1e-4) * d_ref
     o2 = jnp.where(live[:, None], o_ref, o)
     d2 = jnp.where(live[:, None], d_ref, d)

@@ -494,7 +494,8 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     else:
         from .ops.shade import shade_a_jnp
         (o, d, ate_re, ate_im, atm_re, atm_im, tau, freq, theta, cos_t1,
-         ndot) = shade_a_jnp(*shade_args, transmit=transmit)
+         ndot) = shade_a_jnp(*shade_args, transmit=transmit,
+                             refraction=cfg.refraction)
     n = hit["normal"]
     vel = hit["velocity"]
 

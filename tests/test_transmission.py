@@ -209,3 +209,61 @@ def test_spawn_refracted_continuation_geometry():
     d_a_rx = np.sqrt(26.0 + 0.0)                # |(1,0,0)-(2,5,0)|
     np.testing.assert_allclose(tau[0, 1], (1.0 + d_a_rx) / SPEED_OF_LIGHT,
                                rtol=1e-3)
+
+
+def test_snell_refraction_bends_continuation():
+    """refraction='snell' bends the transmitted continuation by Snell's law
+    (air -> medium, n = Re(sqrt(eta))); 'straight' (the ITU slab default)
+    passes through unchanged.  Verifies sin(theta2) = sin(theta1)/n, unit
+    norm, preserved tangential direction, and the straight-mode default."""
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.ops.fresnel import precompute_eta
+    from hermespy_rt_tpu.scene import flatten_scene
+    from hermespy_rt_tpu.tracer import trace_paths
+
+    tris = flatten_scene(_wall_scene(1))           # concrete wall at x=0
+    mats = default_materials()
+    tx = jnp.asarray([[-3.0, 3.0, 0.0]], jnp.float32)
+    rx = jnp.asarray([[3.0, 4.0, 1.0]], jnp.float32)
+    z = jnp.zeros((1, 3), jnp.float32)
+    d0 = np.array([1.0, 1.0, 0.0], np.float32) / np.float32(np.sqrt(2.0))
+    dirs = jnp.asarray(np.tile(d0, (2, 1)))        # ray 0 reflect, 1 transmit
+    kw = dict(num_paths=2, num_bounces=1, parity="physical", backend="jnp",
+              keep_rays=True, spawn_transmission=True)
+
+    def bounce1_dir(refraction):
+        cfg = TracerConfig(refraction=refraction, **kw)
+        res = trace_paths(tris, mats, rx, tx, z, z, jnp.float32(3.0), cfg,
+                          launch_dirs=dirs)
+        return np.asarray(res.rays_scatter.directions)[0, 1]   # [P, 3]
+
+    d_straight = bounce1_dir("straight")
+    np.testing.assert_allclose(d_straight[1], d0, atol=1e-6)
+
+    d_t = bounce1_dir("snell")[1]
+    assert np.isclose(np.linalg.norm(d_t), 1.0, rtol=1e-5)
+    n_med = float(precompute_eta(mats, 3.0).eta_sqrt_re[1])
+    sin1 = np.sqrt(0.5)
+    sin2 = np.linalg.norm(d_t[1:])                 # tangential (wall = x=0)
+    np.testing.assert_allclose(sin2, sin1 / n_med, rtol=1e-5)
+    # forward through the wall, tangential direction preserved, in-plane
+    assert d_t[0] > 0 and d_t[1] > 0 and abs(d_t[2]) < 1e-6
+    # the reflected ray (pattern 0) is identical in both modes
+    np.testing.assert_array_equal(bounce1_dir("snell")[0], d_straight[0])
+
+    # differentiable: the bent direction moves with the material's eta
+    import dataclasses
+    def tangential(a1):
+        m = dataclasses.replace(mats, a=mats.a.at[1].set(a1))
+        cfg = TracerConfig(refraction="snell", **kw)
+        res = trace_paths(tris, m, rx, tx, z, z, jnp.float32(3.0), cfg,
+                          launch_dirs=dirs)
+        return res.rays_scatter.directions[0, 1, 1, 1]
+    g = jax.grad(tangential)(mats.a[1])
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_snell_requires_spawn():
+    with pytest.raises(ValueError):
+        hrt.TracerConfig(parity="physical", refraction="snell")
