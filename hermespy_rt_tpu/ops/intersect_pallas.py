@@ -292,7 +292,17 @@ def _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim, fuse4):
     less per tile (measured on [256,1024] tiles this epilogue is ~half the
     kernel wall, so every op counts).
     """
-    det, u_num, v_num, t_num = _mt_terms_mxu(g_ref, f, precision, fuse4)
+    terms = _mt_terms_mxu(g_ref, f, precision, fuse4)
+    return _mask_from_terms(terms, excl, j, block_tris, t_lim)
+
+
+def _mask_from_terms(terms, excl, j, block_tris, t_lim):
+    """The VPU epilogue half of :func:`_masked_t`, on precomputed MXU
+    terms — split out so kernels can issue several sub-tiles' contractions
+    before their epilogues (the MXU pass of sub-tile k+1 has no dependency
+    on the epilogue of sub-tile k, letting Mosaic's scheduler overlay the
+    units; ~5% kernel wall, bit-identical, probe_r4g)."""
+    det, u_num, v_num, t_num = terms
     inv = 1.0 / det
     u = u_num * inv
     v = v_num * inv
@@ -310,10 +320,8 @@ def _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim, fuse4):
     return jnp.where(valid, t, _BIG), rows
 
 
-def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
-               t_lim, fuse4=False):
-    t_m, rows = _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim,
-                          fuse4)
+def _tile_update(t_m, rows, j, block_tris, t_ref, i_ref, sl=None):
+    """Fold one sub-tile's masked distances into the running best."""
     tile_min = jnp.min(t_m, axis=0, keepdims=True)             # [1, TILE_R]
     # first-min rows; no "& valid" needed: invalid slots are exactly +inf, so
     # whenever tile_min < +inf every row matching it is valid, and when
@@ -323,10 +331,39 @@ def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
         axis=0, keepdims=True)
     tile_idx = tile_arg + j * block_tris
 
-    best_t = t_ref[...]
+    if sl is None:
+        sl = slice(None)
+    best_t = t_ref[0:1, sl]
     improve = tile_min < best_t                                # strict: ties
-    t_ref[...] = jnp.where(improve, tile_min, best_t)          # keep earlier
-    i_ref[...] = jnp.where(improve, tile_idx, i_ref[...])
+    t_ref[0:1, sl] = jnp.where(improve, tile_min, best_t)      # keep earlier
+    i_ref[0:1, sl] = jnp.where(improve, tile_idx, i_ref[0:1, sl])
+
+
+def _tile_body(g_ref, f, excl, t_ref, i_ref, j, block_tris, precision,
+               t_lim, fuse4=False):
+    t_m, rows = _masked_t(g_ref, f, excl, j, block_tris, precision, t_lim,
+                          fuse4)
+    _tile_update(t_m, rows, j, block_tris, t_ref, i_ref)
+
+
+def _tile_body_interleaved(g_ref, od_block, ex_block, t_ref, i_ref, j,
+                           block_tris, precision, fuse4, halves=2):
+    """:func:`_tile_body` with the ray block processed as ``halves``
+    independent lane sub-tiles, ALL MXU contractions issued before ANY
+    epilogue: sub-tile k+1's dot has no dependency on sub-tile k's VPU
+    epilogue, so the scheduler overlays the units (bit-identical outputs —
+    each element's compute path is unchanged; probe_r4g: 4.24 -> 4.04
+    ms/1M-ray call at 2x1024, 4.24 -> 4.12 at 2x512)."""
+    br = od_block.shape[-1]
+    sub = br // halves
+    fs = [_features_from_od(od_block[:, k * sub:(k + 1) * sub])
+          for k in range(halves)]
+    terms = [_mt_terms_mxu(g_ref, f, precision, fuse4) for f in fs]
+    for k in range(halves):
+        sl = slice(k * sub, (k + 1) * sub)
+        t_m, rows = _mask_from_terms(terms[k], ex_block[:, sl], j,
+                                     block_tris, None)
+        _tile_update(t_m, rows, j, block_tris, t_ref, i_ref, sl)
 
 
 def _kernel(g_ref, od_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
@@ -339,8 +376,13 @@ def _kernel(g_ref, od_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
         t_ref[...] = jnp.full_like(t_ref, _BIG)
         i_ref[...] = jnp.full_like(i_ref, -1)
 
-    _tile_body(g_ref, _features_from_od(od_ref[...]), ex_ref[...], t_ref,
-               i_ref, j, block_tris, precision, None, fuse4)
+    od = od_ref[...]
+    if od.shape[-1] >= 1024:
+        _tile_body_interleaved(g_ref, od, ex_ref[...], t_ref, i_ref, j,
+                               block_tris, precision, fuse4)
+    else:
+        _tile_body(g_ref, _features_from_od(od), ex_ref[...], t_ref,
+                   i_ref, j, block_tris, precision, None, fuse4)
 
 
 def _kernel_flags(flag_ref, g_ref, od_ref, ex_ref, t_ref, i_ref, *,
@@ -367,8 +409,13 @@ def _kernel_flags(flag_ref, g_ref, od_ref, ex_ref, t_ref, i_ref, *,
 
     @pl.when(flag_ref[i] != 0)
     def _eval():
-        _tile_body(g_ref, _features_from_od(od_ref[...]), ex_ref[...],
-                   t_ref, i_ref, j, block_tris, precision, None, fuse4)
+        od = od_ref[...]
+        if od.shape[-1] >= 1024:
+            _tile_body_interleaved(g_ref, od, ex_ref[...], t_ref, i_ref, j,
+                                   block_tris, precision, fuse4)
+        else:
+            _tile_body(g_ref, _features_from_od(od), ex_ref[...], t_ref,
+                       i_ref, j, block_tris, precision, None, fuse4)
 
 
 def _kernel_culled(aabb_ref, g_ref, od_ref, ex_ref, lim_ref, t_ref,
