@@ -104,6 +104,25 @@ class TracerConfig:
     # True (on; VMEM-resident G for small scenes, manual HBM DMA
     # double-buffering beyond), "resident", "dma" (force a variant).
     walk: "bool | str" = "auto"
+    # Walk prepass granularity: "ray" tests every ray against every coarse
+    # box (tightest lists, O(R x C) XLA work — ~26% of the config5 step,
+    # trace_r4h); "tile" replaces it with ONE interval-arithmetic slab test
+    # per (ray tile, box) over the tile's origin AABB and inv-direction
+    # interval (O(nRT x C), conservative — the kernel re-tests fine AABBs
+    # and exact geometry, so results stay bit-identical).  "tile" needs
+    # per-tile direction coherence to prune well: pair it with
+    # launch_order="coherent" and resort="auto".  "auto": "tile" when the
+    # mid-trace resort is active, else "ray".
+    walk_prepass: str = "auto"
+    # Mid-trace ray re-sorting (big-scene walk runs): after each bounce's
+    # shading, rays are permuted into (direction octant, hit-position
+    # Morton) order so bounce b+1's query AND bounce b's shadow query see
+    # spatially-tight, direction-coherent ray tiles — launch_order only
+    # orders bounce 1.  Pure relabelling inside the trace: outputs are
+    # scattered back to original path slots, so results are bit-identical.
+    # "auto": ON iff the walk kernel is active (>= 4096 padded triangles);
+    # True/False force.  (xla shade path; ignored under shade="fused".)
+    resort: "bool | str" = "auto"
     # Launch-direction assignment: "fibonacci" enumerates paths exactly like
     # the reference (/root/reference/src/compute_paths.c:442-456 — adjacent
     # path indices are ~2.4 rad apart in azimuth, so a 1024-ray kernel tile
@@ -230,6 +249,12 @@ class TracerConfig:
         if self.walk not in (False, True, "auto", "resident", "dma"):
             raise ValueError("walk must be False, True, 'auto', 'resident' "
                              f"or 'dma', got {self.walk!r}")
+        if self.walk_prepass not in ("auto", "ray", "tile"):
+            raise ValueError("walk_prepass must be 'auto', 'ray' or 'tile',"
+                             f" got {self.walk_prepass!r}")
+        if self.resort not in (False, True, "auto"):
+            raise ValueError("resort must be False, True or 'auto', got "
+                             f"{self.resort!r}")
         if self.launch_order not in ("auto", "fibonacci", "coherent"):
             raise ValueError("launch_order must be 'auto', 'fibonacci' or "
                              f"'coherent', got {self.launch_order!r}")

@@ -673,7 +673,7 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
 
 
 def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
-                  tile_chunk: int = 32):
+                  tile_chunk: int = 32, mode: str = "ray"):
     """Per-ray-tile visit lists for the walk kernel (all jnp, fwd-only).
 
     Returns the packed visit array i32[nRT8, C]: col 0 the count, cols 1..
@@ -685,6 +685,21 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
     triangles (the kernel re-tests each member tile's fine AABB in-kernel,
     so pruning quality is unchanged; only the near-to-far ordering coarsens
     to group granularity).
+
+    ``mode`` selects the slab-test granularity:
+
+    * ``"ray"`` — every ray tests every coarse box (O(R x C) VPU work in
+      XLA land; ~26% of the config5 step wall, trace_r4h) and the tile
+      reaches a box if ANY member ray does.  Maximally tight lists.
+    * ``"tile"`` — each ray tile is summarized by its origin AABB and
+      per-axis inv-direction interval; one interval-arithmetic slab test
+      per (tile, box) lower-bounds every member ray's entry distance and
+      upper-bounds its exit (O(nRT x C) — ~1000x less prepass work).
+      Strictly conservative (interval bounds enclose every member ray's
+      slab result, so no reachable box is ever dropped — the kernel
+      re-tests fine AABBs and exact geometry regardless); tightness needs
+      rays that share a direction octant and a small origin box (launch
+      coherence or mid-trace re-sorting).
     """
     n_tt = aabbs.shape[0]
     if group > 1:
@@ -702,28 +717,66 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
     n_rt = r_pad // block_rays
     d = od[0:3, :].reshape(3, n_rt, block_rays)
     o = od[3:6, :].reshape(3, n_rt, block_rays)
-    lim_t = lim.reshape(n_rt, 1, block_rays)
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
-    def chunk_fn(ab):                                 # ab: [C, 8]
-        lo = (ab[:, 0:3].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
-        hi = (ab[:, 3:6].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
-        # [3, nRT, C, block_rays]
-        t_near = jnp.max(jnp.minimum(lo, hi), axis=0)          # [nRT, C, R_b]
-        t_far = jnp.min(jnp.maximum(lo, hi), axis=0)
-        reach_r = ((t_far >= 0.0) & (t_near <= t_far)
-                   & (t_near <= lim_t) & (lim_t >= 0.0))
-        key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
-        return jnp.any(reach_r, axis=-1), jnp.min(key_r, axis=-1)
+    if mode == "tile":
+        _BIGF = jnp.float32(3.0e37)
+        lim_r = lim.reshape(n_rt, block_rays)
+        live = lim_r >= 0.0                                   # [nRT, Rb]
+        lv = live[None]
+        o_lo = jnp.min(jnp.where(lv, o, _BIGF), axis=2)       # [3, nRT]
+        o_hi = jnp.max(jnp.where(lv, o, -_BIGF), axis=2)
+        i_lo = jnp.min(jnp.where(lv, inv, _BIGF), axis=2)
+        i_hi = jnp.max(jnp.where(lv, inv, -_BIGF), axis=2)
+        lim_max = jnp.max(jnp.where(live, lim_r, -1.0), axis=1)  # [nRT]
+        any_live = jnp.any(live, axis=1)
 
-    pad_tt = _round_up(n_ent, tile_chunk)
-    ab_all = jnp.pad(ab_use, ((0, pad_tt - n_ent), (0, 0)))
-    # padding boxes are all-zero -> lo==hi==(0-o)*inv; they may spuriously
-    # "reach" only if a ray passes through the center point; mask them after.
-    reach_c, key_c = jax.lax.map(
-        chunk_fn, ab_all.reshape(pad_tt // tile_chunk, tile_chunk, 8))
-    reach = jnp.moveaxis(reach_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
-    key = jnp.moveaxis(key_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
+        near_lb = jnp.full((n_rt, n_ent), -jnp.inf, jnp.float32)
+        far_ub = jnp.full((n_rt, n_ent), jnp.inf, jnp.float32)
+        for a in range(3):
+            def corners(s):                     # s: box plane coords [C]
+                diff_lo = s[None, :] - o_hi[a][:, None]       # [nRT, C]
+                diff_hi = s[None, :] - o_lo[a][:, None]
+                c = (diff_lo * i_lo[a][:, None],
+                     diff_lo * i_hi[a][:, None],
+                     diff_hi * i_lo[a][:, None],
+                     diff_hi * i_hi[a][:, None])
+                lb = jnp.minimum(jnp.minimum(c[0], c[1]),
+                                 jnp.minimum(c[2], c[3]))
+                ub = jnp.maximum(jnp.maximum(c[0], c[1]),
+                                 jnp.maximum(c[2], c[3]))
+                return lb, ub
+            ta_lb, ta_ub = corners(ab_use[:, a])
+            tb_lb, tb_ub = corners(ab_use[:, 3 + a])
+            # per ray: near_a = min(tA, tB), far_a = max(tA, tB)
+            near_lb = jnp.maximum(near_lb, jnp.minimum(ta_lb, tb_lb))
+            far_ub = jnp.minimum(far_ub, jnp.maximum(ta_ub, tb_ub))
+        reach = ((far_ub >= 0.0) & (near_lb <= far_ub)
+                 & (near_lb <= lim_max[:, None]) & any_live[:, None])
+        key = jnp.maximum(near_lb, 0.0)
+    else:
+        lim_t = lim.reshape(n_rt, 1, block_rays)
+
+        def chunk_fn(ab):                                 # ab: [C, 8]
+            lo = (ab[:, 0:3].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
+            hi = (ab[:, 3:6].T[:, None, :, None] - o[:, :, None, :]) * inv[:, :, None, :]
+            # [3, nRT, C, block_rays]
+            t_near = jnp.max(jnp.minimum(lo, hi), axis=0)      # [nRT, C, R_b]
+            t_far = jnp.min(jnp.maximum(lo, hi), axis=0)
+            reach_r = ((t_far >= 0.0) & (t_near <= t_far)
+                       & (t_near <= lim_t) & (lim_t >= 0.0))
+            key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
+            return jnp.any(reach_r, axis=-1), jnp.min(key_r, axis=-1)
+
+        pad_tt = _round_up(n_ent, tile_chunk)
+        ab_all = jnp.pad(ab_use, ((0, pad_tt - n_ent), (0, 0)))
+        # padding boxes are all-zero -> lo==hi==(0-o)*inv; they may
+        # spuriously "reach" only if a ray passes through the center point;
+        # mask them after.
+        reach_c, key_c = jax.lax.map(
+            chunk_fn, ab_all.reshape(pad_tt // tile_chunk, tile_chunk, 8))
+        reach = jnp.moveaxis(reach_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
+        key = jnp.moveaxis(key_c, 0, 1).reshape(n_rt, pad_tt)[:, :n_ent]
 
     key = jnp.where(reach, key, jnp.inf)
     count = jnp.sum(reach, axis=1, dtype=jnp.int32)            # [nRT]
@@ -796,12 +849,13 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
                    static_argnames=("block_rays", "block_tris", "interpret",
                                     "precision", "cull", "has_t_max",
                                     "has_live", "walk", "pre_expand",
-                                    "fuse4", "walk_group", "has_od"))
+                                    "fuse4", "walk_group", "has_od",
+                                    "walk_prepass"))
 def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
                            block_rays, block_tris, interpret, precision,
                            cull, has_t_max, has_live=False, walk=False,
                            pre_expand=False, fuse4=False, walk_group=0,
-                           has_od=False):
+                           has_od=False, walk_prepass="ray"):
     R = od_arg.shape[-1] if has_od else o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -893,7 +947,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
             lim = lim.at[0, :R].set(tm)
         if live_p is not None:
             lim = jnp.where(live_p[None, :], lim, -1.0)
-        visits = _walk_prepass(od, lim, aabbs, block_rays, group)
+        visits = _walk_prepass(od, lim, aabbs, block_rays, group,
+                               mode=walk_prepass)
         # The walk kernels take G pre-expanded (the DMA variant's manual
         # HBM->VMEM G copies need lane-128 slices — Mosaic DMA alignment);
         # F builds and expands IN-KERNEL once per ray tile
@@ -1042,7 +1097,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      walk=False, walk_group: int = 0,
                      pre_expand: bool = False,
                      fuse4: bool = False,
-                     od=None) -> Tuple[jax.Array, jax.Array]:
+                     od=None,
+                     walk_prepass: str = "ray") -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -1074,14 +1130,14 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         block_rays, block_tris, interpret, precision, bool(cull),
         t_max is not None, has_live=live is not None, walk=walk,
         pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group,
-        has_od=has_od)
+        has_od=has_od, walk_prepass=walk_prepass)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
                           block_tris: int = 256, interpret=None,
                           precision: str = "highest", cull=None,
                           walk=False, walk_group: int = 0,
-                          fuse4: bool = False):
+                          fuse4: bool = False, walk_prepass: str = "ray"):
     """Bind a scene into an ``intersect_fn(o, d, t_max=None) -> (t, idx)``
     closure.
 
@@ -1097,6 +1153,7 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
                                 block_tris=block_tris, interpret=interpret,
                                 precision=precision, t_max=t_max, cull=cull,
                                 exclude=exclude, live=live, walk=walk,
-                                walk_group=walk_group, fuse4=fuse4, od=od)
+                                walk_group=walk_group, fuse4=fuse4, od=od,
+                                walk_prepass=walk_prepass)
 
     return intersect_fn

@@ -292,11 +292,19 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
             # brute kernel skips wholly-dead ray tiles via liveness flags
             # (cheaper than per-tile slab tests on small scenes); cull/walk
             # fold liveness into their t-limit rows instead
+            wp = cfg.walk_prepass
+            if wp == "auto":
+                # the tile-interval prepass needs per-tile direction
+                # coherence at every bounce — exactly what the mid-trace
+                # resort provides
+                wp = ("tile" if _resort_active(cfg, tris.v0.shape[0])
+                      else "ray")
             fn = make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                        block_tris=cfg.block_tris,
                                        precision=cfg.precision,
                                        cull=cfg.cull and not walk,
-                                       walk=walk, fuse4=cfg.fuse4)
+                                       walk=walk, fuse4=cfg.fuse4,
+                                       walk_prepass=wp)
             fn.supports_od = True
             return fn
         except Exception:
@@ -436,13 +444,62 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
     return los, rays
 
 
+def _resort_key(o, d, live):
+    """Mid-trace ray-coherence sort key: (direction octant, 8-bit-per-axis
+    position Morton) — i32[R], dead rays at +max so they cluster into
+    whole tiles the compaction flags / voided t-limits then skip.  Key
+    construction is decision-free (pure relabelling): the per-ray kernel
+    results are independent of tile grouping."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    lvc = live[:, None]
+    lo = jnp.min(jnp.where(lvc, o, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(lvc, o, -jnp.inf), axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip((o - lo) / span * 256.0, 0.0, 255.0).astype(jnp.int32)
+    m = jnp.zeros(o.shape[:1], jnp.int32)
+    for b in range(8):
+        for a in range(3):
+            m = m | (((q[:, a] >> b) & 1) << (3 * b + (2 - a)))
+    octant = (((d[:, 0] >= 0).astype(jnp.int32) << 2)
+              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+              | (d[:, 2] >= 0).astype(jnp.int32))
+    key = (octant << 24) | m
+    return jnp.where(live, key, jnp.int32(2**31 - 1))
+
+
+def _permute_f32_rows(arrs, order):
+    """Apply one row permutation to f32 [R]/[R,3] arrays via a single
+    stacked [R, K] gather (fast vectorized emitter; per-column gathers
+    inside the bounce scan hit a ~22 ms scalar SMEM-index loop each,
+    trace_r4i).  Differentiable: the backward is one stacked scatter-add."""
+    cols = [a[:, None] if a.ndim == 1 else a for a in arrs]
+    widths = [c.shape[1] for c in cols]
+    g = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
+    parts = jnp.split(g, np.cumsum(widths)[:-1], axis=1)
+    return [p[:, 0] if a.ndim == 1 else p for a, p in zip(arrs, parts)]
+
+
 def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
-                cfg: TracerConfig):
+                cfg: TracerConfig, resort: bool = False):
     """One bounce: reflect every active ray off its nearest triangle, then
     scatter a shadow ray from the hit point to every RX
-    (/root/reference/src/compute_paths.c:591-745)."""
-    (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
-     pidx) = carry
+    (/root/reference/src/compute_paths.c:591-745).
+
+    With ``resort`` the post-shading ray state is permuted into
+    (direction-octant, hit-position-Morton) order before the shadow query
+    — the permuted order rides the carry (plus a ``slot`` row mapping to
+    original path slots), so bounce b+1's nearest-hit query inherits
+    bounce b's spatial sort and the per-bounce outputs are scattered back
+    to original slots on emission.  Bit-identical results; the walk
+    prepass sees direction-coherent, spatially-tight ray tiles at every
+    bounce instead of only the first (see TracerConfig.resort)."""
+    if resort:
+        (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
+         pidx, slot) = carry
+    else:
+        (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
+         pidx) = carry
     nrx = rx_pos.shape[0]
     # transmission spawning: bit 0 of the per-ray pattern selects "pass
     # straight through with the ITU transmission coefficients" for THIS
@@ -498,6 +555,32 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
                              refraction=cfg.refraction)
     n = hit["normal"]
     vel = hit["velocity"]
+
+    inv_perm = None
+    s_row, s1_row = mat_rows.s, mat_rows.s1_alpha
+    if resort:
+        R = o.shape[0]
+        order = jnp.argsort(_resort_key(o, d, live))
+        # ONE stacked [R, K] row gather per dtype: per-column 1M gathers
+        # inside the bounce scan lower to a kCustom fusion with the index
+        # vector in SMEM — a ~22 ms scalar loop EACH (trace_r4i); the row
+        # gather moves the whole per-ray state in single-digit ms.
+        # Only the shading state consumed after this point rides along
+        # (the 10 eta leaves used by the Fresnel chain are already spent).
+        (o, d, n, vel, ate_re, ate_im, atm_re, atm_im, tau, freq, theta,
+         cos_t1, ndot, s_row, s1_row) = _permute_f32_rows(
+            [o, d, n, vel, ate_re, ate_im, atm_re, atm_im, tau, freq,
+             theta, cos_t1, ndot, s_row, s1_row], order)
+        ints = [idx, pat, slot, live.astype(jnp.int32)]
+        if transmit is not None:
+            ints.append(transmit.astype(jnp.int32))
+        ints = list(jnp.take(jnp.stack(ints, axis=1), order, axis=0).T)
+        idx, pat, slot = ints[0], ints[1], ints[2]
+        live = ints[3] != 0
+        if transmit is not None:
+            transmit = ints[4] != 0
+        inv_perm = jnp.zeros((R,), jnp.int32).at[slot].set(
+            jnp.arange(R, dtype=jnp.int32))
 
     # --- scatter-to-RX shadow rays, all RX batched into one query ---
     so = jnp.broadcast_to(o[None], (nrx,) + o.shape)          # [NRx, R, 3]
@@ -597,7 +680,7 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     sin_ti = jnp.sqrt(1.0 - cos_ti * cos_ti)
 
     s_te_re, s_te_im, s_tm_re, s_tm_im = scat_coefs(
-        theta_s, theta_i_scat, mat_rows.s[None], mat_rows.s1_alpha[None],
+        theta_s, theta_i_scat, s_row[None], s1_row[None],
         cos_ts=cos_ts, cos_ti=cos_ti, sin_ti=sin_ti)
 
     out_te_re = ate_re[None] * s_te_re - ate_im[None] * s_te_im
@@ -648,6 +731,24 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
              pat >> 1, jnp.where(live, idx, -1))
     ys = (out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau, out_freq,
           out_dir_rx, o, d, live)
+    if resort:
+        # emit per-bounce outputs in ORIGINAL path-slot order (the carry
+        # stays sorted; `slot` maps current -> original, inv_perm inverts)
+        # — again as ONE stacked row gather (see the forward sort above)
+        carry = carry + (slot,)
+        nrx_ = out_te_re.shape[0]
+        perrx = [out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau,
+                 out_freq]
+        cols = ([jnp.moveaxis(y, 0, 1) for y in perrx]            # [R, NRx]
+                + [jnp.moveaxis(out_dir_rx, 1, 0).reshape(-1, nrx_ * 3),
+                   o, d, live.astype(jnp.float32)[:, None]])
+        widths = [c.shape[1] for c in cols]
+        g = jnp.take(jnp.concatenate(cols, axis=1), inv_perm, axis=0)
+        parts = jnp.split(g, np.cumsum(widths)[:-1], axis=1)
+        perrx_u = [jnp.moveaxis(p, 1, 0) for p in parts[:6]]
+        dir_u = jnp.moveaxis(parts[6].reshape(-1, nrx_, 3), 1, 0)
+        ys = tuple(perrx_u) + (dir_u, parts[7], parts[8],
+                               parts[9][:, 0] != 0.0)
     return carry, ys
 
 
@@ -755,13 +856,34 @@ def transmit_patterns(num_rays: int, num_bounces: int) -> jax.Array:
     return jnp.arange(num_rays, dtype=jnp.int32) % jnp.int32(2 ** num_bounces)
 
 
+def _resort_active(cfg: TracerConfig, t_padded: int) -> bool:
+    """Resolve TracerConfig.resort: "auto" enables the mid-trace coherence
+    sort exactly when the walk kernel is active (>= 4096 padded triangles
+    under walk="auto") — the regime where visit-list tightness at bounces
+    >= 2 is worth one argsort per bounce.  The fused-shade path manages its
+    own carry layout and never coexists with the walk (<= 2048 tris)."""
+    if cfg.resort is False or cfg.shade == "fused":
+        return False
+    if cfg.resort is True:
+        return True
+    walk = cfg.walk
+    return (t_padded >= 4096) if walk == "auto" else bool(walk)
+
+
 def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig,
                  step=None):
     """Run the bounce loop; returns the stacked per-bounce outputs."""
     custom_saves = step is not None   # fused steps save their own residuals
     if step is None:
+        tris_ = getattr(access, "tris", None)
+        if tris_ is None:
+            tris_ = access.local.tris
+        resort_on = _resort_active(cfg, tris_.v0.shape[0])
         step = partial(bounce_step, access=access, rx_pos=rx_pos,
-                       fslm=fslm, k_dop=k_dop, cfg=cfg)
+                       fslm=fslm, k_dop=k_dop, cfg=cfg, resort=resort_on)
+        if resort_on:
+            R = carry0[0].shape[0]
+            carry0 = tuple(carry0) + (jnp.arange(R, dtype=jnp.int32),)
     B = cfg.num_bounces
     if cfg.remat == "hits" and not custom_saves:
         # save ONLY the named residuals (kernel hit decisions + fetched
