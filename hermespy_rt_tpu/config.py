@@ -110,9 +110,11 @@ class TracerConfig:
     # per (ray tile, box) over the tile's origin AABB and inv-direction
     # interval (O(nRT x C), conservative — the kernel re-tests fine AABBs
     # and exact geometry, so results stay bit-identical).  "tile" needs
-    # per-tile direction coherence to prune well: pair it with
-    # launch_order="coherent" and resort="auto".  "auto": "tile" when the
-    # mid-trace resort is active, else "ray".
+    # per-tile direction coherence to prune well (pair with
+    # launch_order="coherent" and resort=True).  "auto" resolves to "ray":
+    # measured on config5 the conservative tile lists cost the walk kernel
+    # more than the prepass saves even with the resort on (probe_r4l C vs
+    # B: +135 ms kernels vs -180 ms prepass).
     walk_prepass: str = "auto"
     # Mid-trace ray re-sorting (big-scene walk runs): after each bounce's
     # shading, rays are permuted into (direction octant, hit-position
@@ -120,8 +122,12 @@ class TracerConfig:
     # spatially-tight, direction-coherent ray tiles — launch_order only
     # orders bounce 1.  Pure relabelling inside the trace: outputs are
     # scattered back to original path slots, so results are bit-identical.
-    # "auto": ON iff the walk kernel is active (>= 4096 padded triangles);
-    # True/False force.  (xla shade path; ignored under shade="fused".)
+    # "auto" resolves to OFF: measured on the 131k-tri config5 city the
+    # walk kernel's near-to-far early-out already absorbs bounce>=2
+    # incoherence (kernel wall did not drop under sorted rays) while the
+    # in-scan permutation cost ~490 ms/step (probe_r4i/r4l; 1261 vs 772 ms
+    # e2e).  True forces it on for topologies where visit lists, not
+    # early-outs, dominate.  (xla shade path; ignored under shade="fused".)
     resort: "bool | str" = "auto"
     # Launch-direction assignment: "fibonacci" enumerates paths exactly like
     # the reference (/root/reference/src/compute_paths.c:442-456 — adjacent

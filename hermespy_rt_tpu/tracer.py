@@ -294,11 +294,12 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
             # fold liveness into their t-limit rows instead
             wp = cfg.walk_prepass
             if wp == "auto":
-                # the tile-interval prepass needs per-tile direction
-                # coherence at every bounce — exactly what the mid-trace
-                # resort provides
-                wp = ("tile" if _resort_active(cfg, tris.v0.shape[0])
-                      else "ray")
+                # "ray" measured faster e2e even with the resort active:
+                # the tile-interval lists are loose enough that the walk
+                # kernel pays back more than the prepass saves
+                # (+135 ms kernels vs -180 ms prepass at config5,
+                # probe_r4l C vs B)
+                wp = "ray"
             fn = make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                        block_tris=cfg.block_tris,
                                        precision=cfg.precision,
@@ -857,17 +858,17 @@ def transmit_patterns(num_rays: int, num_bounces: int) -> jax.Array:
 
 
 def _resort_active(cfg: TracerConfig, t_padded: int) -> bool:
-    """Resolve TracerConfig.resort: "auto" enables the mid-trace coherence
-    sort exactly when the walk kernel is active (>= 4096 padded triangles
-    under walk="auto") — the regime where visit-list tightness at bounces
-    >= 2 is worth one argsort per bounce.  The fused-shade path manages its
-    own carry layout and never coexists with the walk (<= 2048 tris)."""
-    if cfg.resort is False or cfg.shade == "fused":
-        return False
-    if cfg.resort is True:
-        return True
-    walk = cfg.walk
-    return (t_padded >= 4096) if walk == "auto" else bool(walk)
+    """Resolve TracerConfig.resort.  "auto" is OFF: on the 131k-triangle
+    config5 city the sort never paid — the walk kernel's near-to-far
+    early-out already absorbs bounce>=2 incoherence (kernel time did NOT
+    drop under sorted rays) while the permutation's in-scan data movement
+    cost ~490 ms/step even as stacked row gathers (probe_r4i/r4l,
+    benchmarks/README.md round-4 negative results).  The knob stays for
+    topologies where visit lists, not early-outs, dominate.  The
+    fused-shade path manages its own carry layout (never coexists with
+    the walk; <= 2048 tris)."""
+    del t_padded
+    return cfg.resort is True and cfg.shade != "fused"
 
 
 def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig,

@@ -72,6 +72,27 @@ def test_walk_under_tri_sharding(mesh_shape):
             np.asarray(getattr(got.scatter, field)), err_msg=field)
 
 
+def test_resort_bit_identical():
+    """resort=True (mid-trace coherence sort, opt-in after the r4l
+    negative result) must reproduce the unsorted trace bit-for-bit: the
+    permutation is pure relabelling inside the scan and outputs scatter
+    back to original path slots."""
+    tris = flatten_scene(random_soup_scene(300, seed=5, extent=12.0),
+                         sort_triangles=True)
+    kw = dict(num_paths=256, num_bounces=3, backend="pallas",
+              keep_rays=False, walk="resident", block_rays=256,
+              block_tris=64, precision="highest")
+    mats = default_materials()
+    ref = trace_paths(tris, mats, RX, TX, Z, Z, 3.0,
+                      TracerConfig(**kw, resort=False))
+    got = trace_paths(tris, mats, RX, TX, Z, Z, 3.0,
+                      TracerConfig(**kw, resort=True))
+    for field in ("a_te", "a_tm", "tau", "directions_rx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref.scatter, field)),
+            np.asarray(getattr(got.scatter, field)), err_msg=field)
+
+
 def test_walk_sharded_gradients_finite():
     """fwd+bwd through walk + tri-sharding: material and TX-position
     gradients must be finite and nonzero (the config-5 training step)."""
