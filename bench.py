@@ -47,10 +47,16 @@ CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 #  - gather="onehot_pallas": the transposed-layout VMEM one-hot fetch
 #    (142 -> 175 Mq/s, probe_r3j; the first-layout kernel measured 5x
 #    SLOWER — probe_r3f — before the rays-on-lanes rewrite)
+#  - shade: per-nrx (probe_r4m/r4m2): the fused bounce megakernel + slim
+#    grad_positions=False backward wins at nrx=1 (198.8 vs 192.1 Mq/s);
+#    at nrx>=4 the xla shade wins (242.1 vs 224.6 at nrx=4, 262.0 vs
+#    228.1 at nrx=8 — shadow-dominated traces fuse worse) and the fused
+#    path OOMs scoped vmem at nrx=16.
 BENCH_FLAGS = dict(backend="auto", keep_rays=False, precision="exact1",
                    unroll_bounces=True, fuse4=True, compact_rays=True,
                    launch_order="coherent", grad_geometry=False,
                    gather="onehot_pallas", fetch_bwd="xla")
+SHADE_BY_NRX = {1: dict(shade="fused", grad_positions=False)}  # else xla
 
 
 def _scene():
@@ -69,7 +75,8 @@ def measure_tpu(num_paths=1 << 20, num_bounces=3, num_rx=1, iters=8):
     from hermespy_rt_tpu.tracer import trace_paths
 
     cfg = TracerConfig(num_paths=num_paths, num_bounces=num_bounces,
-                       **BENCH_FLAGS)
+                       **BENCH_FLAGS,
+                       **SHADE_BY_NRX.get(num_rx, dict(shade="xla")))
     tris = flatten_scene(_scene())
     mats = default_materials()
     rx = (jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
