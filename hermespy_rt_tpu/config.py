@@ -164,13 +164,15 @@ class TracerConfig:
     # fuses the ENTIRE per-bounce elementwise pipeline (in-kernel payload
     # fetch + reflection shading + shadow setup + scattering outputs) into
     # two Pallas passes per bounce whose BACKWARDS are Pallas kernels too
-    # (in-VMEM vjp recompute; ops/bounce_fused.py) — bit-identical forward,
-    # gradients exactly those of the jnp chain.  "fused" applies to local
-    # (non-sharded) scene access with a fused payload table of <= 2048
-    # padded triangles, parity both modes, transmission off; other configs
-    # silently use the jnp path.  "pallas" composes with either scene
-    # access; only spawn_transmission forces the jnp path (the transmit
-    # select is jnp-only).
+    # (in-VMEM vjp recompute; ops/bounce_fused.py) — forward within 1-2 ulp
+    # of the jnp path (Mosaic fma contraction; 3e-5 rtol + identical
+    # decision masks asserted by tests/test_bounce_fused.py), gradients the
+    # vjp of the same chain.  "fused" applies to local (non-sharded) scene
+    # access with a fused payload table of <= 2048 padded triangles, parity
+    # both modes, transmission off; other configs fall back to the jnp path
+    # with a one-time warning.  "pallas" composes with either scene access;
+    # only spawn_transmission forces the jnp path (the transmit select is
+    # jnp-only).
     shade: str = "xla"
     # Backward rematerialisation policy for the bounce step: "none" saves
     # whatever XLA decides (every fusion boundary becomes a forward-pass HBM

@@ -74,9 +74,10 @@ def coverage_map(scene, tx_position,
         d = rms_delay_spread(res)
         gains[lo:hi] = np.asarray(g)[:k, 0]
         delays[lo:hi] = np.asarray(d)[:k, 0]
-        # abs on device: complex64 transfers are not supported on all
-        # TPU transports (see utils.profiling.device_to_numpy)
-        blocked[lo:hi] = np.asarray(jnp.abs(res.los.a_te[:, 0, 0]))[:k] == 0.0
+        # the tracer's actual occlusion decision — NOT inferred from
+        # |a_te| == 0, which is wrong under transmission=True (a blocked
+        # LoS then carries nonzero penetration-loss gain)
+        blocked[lo:hi] = np.asarray(res.los_blocked[:, 0])[:k]
 
     shape = (ys.size, xs.size)
     return CoverageGrid(x=xs, y=ys, height=height,

@@ -367,7 +367,7 @@ def _tile_body_interleaved(g_ref, od_block, ex_block, t_ref, i_ref, j,
 
 
 def _kernel(g_ref, od_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
-            precision, fuse4: bool):
+            precision, fuse4: bool, halves: int = 2):
     """One (ray-tile, tri-tile) step of the nearest-hit reduction."""
     j = pl.program_id(1)
 
@@ -377,16 +377,16 @@ def _kernel(g_ref, od_ref, ex_ref, t_ref, i_ref, *, block_tris: int,
         i_ref[...] = jnp.full_like(i_ref, -1)
 
     od = od_ref[...]
-    if od.shape[-1] >= 1024:
+    if od.shape[-1] >= 1024 and halves > 1:
         _tile_body_interleaved(g_ref, od, ex_ref[...], t_ref, i_ref, j,
-                               block_tris, precision, fuse4)
+                               block_tris, precision, fuse4, halves)
     else:
         _tile_body(g_ref, _features_from_od(od), ex_ref[...], t_ref,
                    i_ref, j, block_tris, precision, None, fuse4)
 
 
 def _kernel_flags(flag_ref, g_ref, od_ref, ex_ref, t_ref, i_ref, *,
-                  block_tris: int, precision, fuse4: bool):
+                  block_tris: int, precision, fuse4: bool, halves: int = 2):
     """Brute-force step with per-ray-tile liveness flags (dead-ray skipping).
 
     ``flag_ref`` (SMEM i32[nRT]) is 0 when every ray in tile ``i`` is dead;
@@ -410,9 +410,9 @@ def _kernel_flags(flag_ref, g_ref, od_ref, ex_ref, t_ref, i_ref, *,
     @pl.when(flag_ref[i] != 0)
     def _eval():
         od = od_ref[...]
-        if od.shape[-1] >= 1024:
+        if od.shape[-1] >= 1024 and halves > 1:
             _tile_body_interleaved(g_ref, od, ex_ref[...], t_ref, i_ref, j,
-                                   block_tris, precision, fuse4)
+                                   block_tris, precision, fuse4, halves)
         else:
             _tile_body(g_ref, _features_from_od(od), ex_ref[...], t_ref,
                        i_ref, j, block_tris, precision, None, fuse4)
@@ -850,12 +850,12 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
                                     "precision", "cull", "has_t_max",
                                     "has_live", "walk", "pre_expand",
                                     "fuse4", "walk_group", "has_od",
-                                    "walk_prepass"))
+                                    "walk_prepass", "interleave"))
 def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
                            block_rays, block_tris, interpret, precision,
                            cull, has_t_max, has_live=False, walk=False,
                            pre_expand=False, fuse4=False, walk_group=0,
-                           has_od=False, walk_prepass="ray"):
+                           has_od=False, walk_prepass="ray", interleave=2):
     R = od_arg.shape[-1] if has_od else o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -1055,7 +1055,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
         flags = jnp.any(live_p.reshape(-1, block_rays), axis=1
                         ).astype(jnp.int32)                    # [nRT]
         kern = functools.partial(_kernel_flags, block_tris=block_tris,
-                                 precision=precision, fuse4=fuse4)
+                                 precision=precision, fuse4=fuse4,
+                                 halves=interleave)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # flags, whole
@@ -1072,7 +1073,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
                     jnp.where(within, i_out[0, :R], -1))
     else:
         kern = functools.partial(_kernel, block_tris=block_tris,
-                                 precision=precision, fuse4=fuse4)
+                                 precision=precision, fuse4=fuse4,
+                                 halves=interleave)
         t_out, i_out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[g_spec, od_spec, ex_spec],
@@ -1098,7 +1100,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      pre_expand: bool = False,
                      fuse4: bool = False,
                      od=None,
-                     walk_prepass: str = "ray") -> Tuple[jax.Array, jax.Array]:
+                     walk_prepass: str = "ray",
+                     interleave: int = 2) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -1130,7 +1133,7 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         block_rays, block_tris, interpret, precision, bool(cull),
         t_max is not None, has_live=live is not None, walk=walk,
         pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group,
-        has_od=has_od, walk_prepass=walk_prepass)
+        has_od=has_od, walk_prepass=walk_prepass, interleave=interleave)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,

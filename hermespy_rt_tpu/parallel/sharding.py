@@ -39,7 +39,8 @@ from ..ops.fresnel import precompute_eta
 from ..ops.geometry import fibonacci_sphere
 from ..scene.model import TriangleSoA
 from ..tracer import (LocalSceneAccess, PathsResult, _los_pass,
-                      assemble_scatter, launch_state, scatter_scan)
+                      assemble_scatter, launch_state, run_bounce_loop,
+                      scatter_scan)
 
 try:  # JAX >= 0.4.35 exposes shard_map at the top level
     shard_map = jax.shard_map
@@ -200,9 +201,9 @@ def trace_paths_sharded(tris: TriangleSoA,
     eta = precompute_eta(materials, carrier_frequency_ghz)
 
     # LoS is O(nrx*ntx) — replicated, outside the shard_map.
-    los, rays_los = _los_pass(LocalSceneAccess(tris, None, cfg, eta=eta),
-                              rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop,
-                              cfg)
+    los, rays_los, los_blocked = _los_pass(
+        LocalSceneAccess(tris, None, cfg, eta=eta),
+        rx_pos, tx_pos, rx_vel, tx_vel, fslm, k_dop, cfg)
 
     from ..tracer import transmit_patterns
     pattern = (transmit_patterns(R, B) if cfg.spawn_transmission else None)
@@ -216,20 +217,25 @@ def trace_paths_sharded(tris: TriangleSoA,
     def body(tris_l, eta_l, rx_pos_l, fslm_l, k_dop_l, *carry):
         if tri_sharded:
             access = TriShardedSceneAccess(tris_l, "tris", cfg, eta=eta_l)
-        else:
-            access = LocalSceneAccess(tris_l, None, cfg, eta=eta_l)
-        return scatter_scan(access, rx_pos_l, tuple(carry), fslm_l,
-                            k_dop_l, cfg)
+            return scatter_scan(access, rx_pos_l, tuple(carry), fslm_l,
+                                k_dop_l, cfg)
+        # replicated scene: the full step selection (incl. the fused
+        # megakernels — pure per-ray maps, so they compose with ray
+        # sharding unchanged) runs per shard
+        access = LocalSceneAccess(tris_l, None, cfg, eta=eta_l)
+        return run_bounce_loop(access, rx_pos_l, tuple(carry), fslm_l,
+                               k_dop_l, cfg)
 
     # per-bounce outputs: [B, NRx, R]-shaped (rays last) except dir_rx
-    # [B, NRx, R, 3] and rays o/d [B, R, 3] / active [B, R].
+    # [B, NRx, R, 3] and — only when keep_rays — rays o/d [B, R, 3] /
+    # active [B, R] (None = empty pytree nodes otherwise).
     out_specs = (
         P(None, None, "rays"), P(None, None, "rays"),
         P(None, None, "rays"), P(None, None, "rays"),
         P(None, None, "rays"), P(None, None, "rays"),
         P(None, None, "rays", None),
-        P(None, "rays", None), P(None, "rays", None), P(None, "rays"),
-    )
+    ) + ((P(None, "rays", None), P(None, "rays", None), P(None, "rays"))
+         if cfg.keep_rays else (None, None, None))
     ys = shard_map(
         body, mesh=mesh,
         in_specs=(_tris_specs(tris, tri_sharded), P(), P(), P(), P())
@@ -241,4 +247,4 @@ def trace_paths_sharded(tris: TriangleSoA,
     scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P_, B,
                                              cfg.keep_rays)
     return PathsResult(los=los, scatter=scatter, rays_los=rays_los,
-                       rays_scatter=rays_scatter)
+                       rays_scatter=rays_scatter, los_blocked=los_blocked)

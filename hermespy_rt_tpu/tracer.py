@@ -99,6 +99,12 @@ class PathsResult:
     scatter: ChannelInfo
     rays_los: Optional[RaysInfo] = None
     rays_scatter: Optional[RaysInfo] = None
+    # occlusion decision of the LoS pass, bool[NRx, NTx]: True when a scene
+    # triangle blocks the direct segment.  Carried explicitly because the
+    # amplitude no longer encodes it under transmission=True (a blocked LoS
+    # then has nonzero penetration-loss gain) — consumers must not infer
+    # blockage from |a_te| == 0.
+    los_blocked: Optional[jax.Array] = None
 
 
 # columns of the fused per-triangle payload table, after the 15 geometry
@@ -354,6 +360,43 @@ def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig,
     return t_o.reshape(-1), idx_o.reshape(-1)
 
 
+def _shadow_intersect_od(access, sh, lims, excl_row, live, cfg: TracerConfig,
+                         nrx: int, R: int):
+    """All-RX shadow nearest-hit for the fused path: the ``[nrx*8, R]`` sh
+    rows are lane-concatenated into ONE ``[8, nrx*R]`` od query (chunked to
+    ``cfg.rx_query_rays`` like :func:`_shadow_intersect`).  The per-RX query
+    loop the fused path ran through r4 paid one kernel launch + operand
+    prolog per RX and lost to the xla path's single batched query from
+    nrx=4 up (probe_r4m: 224.6 vs 242.1 Mq/s).  Returns (t, idx) [nrx, R].
+    """
+    lv0 = live if cfg.compact_rays else None
+    c = max(1, cfg.rx_query_rays // R)          # rx rows per query
+    while nrx % c:
+        c -= 1
+    sh3 = sh.reshape(nrx, 8, R)
+
+    def one(sh_g, lim_g):
+        cg = sh_g.shape[0]
+        od_q = sh_g.transpose(1, 0, 2).reshape(8, cg * R)
+        ex_q = jnp.tile(excl_row, cg)
+        lv_q = None if lv0 is None else jnp.tile(lv0, cg)
+        tm_q = None if lim_g is None else lim_g.reshape(-1)
+        t, i = access.intersect_od(od_q, t_max=tm_q, exclude=ex_q,
+                                   live=lv_q)
+        return t.reshape(cg, R), i.reshape(cg, R)
+
+    if c >= nrx:
+        return one(sh3, lims)
+    G = nrx // c
+    sh_g = sh3.reshape(G, c, 8, R)
+    if lims is None:
+        t, i = jax.lax.map(lambda x: one(x, None), sh_g)
+    else:
+        t, i = jax.lax.map(lambda x: one(x[0], x[1]),
+                           (sh_g, lims.reshape(G, c, R)))
+    return t.reshape(nrx, R), i.reshape(nrx, R)
+
+
 def _safe_norm(v):
     n2 = dot3(v, v)
     n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
@@ -442,7 +485,7 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
         directions=dvec.reshape(nrx, ntx, 1, 3).transpose(1, 2, 0, 3),
         active=(~blocked).reshape(nrx, ntx, 1).transpose(1, 2, 0),
     ) if cfg.keep_rays else None
-    return los, rays
+    return los, rays, blocked.reshape(nrx, ntx)
 
 
 def _resort_key(o, d, live):
@@ -730,8 +773,12 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
 
     carry = (o, d, ate_re, ate_im, atm_re, atm_im, tau, live, freq,
              pat >> 1, jnp.where(live, idx, -1))
+    # rays/active outputs are only consumed for RaysInfo: emit nothing when
+    # keep_rays is off (None = empty pytree node — the scan stacks nothing,
+    # saving the [B, R, 3] x2 + [B, R] per-trace HBM materialisations)
     ys = (out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau, out_freq,
-          out_dir_rx, o, d, live)
+          out_dir_rx) + ((o, d, live) if cfg.keep_rays
+                         else (None, None, None))
     if resort:
         # emit per-bounce outputs in ORIGINAL path-slot order (the carry
         # stays sorted; `slot` maps current -> original, inv_perm inverts)
@@ -741,15 +788,17 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         perrx = [out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau,
                  out_freq]
         cols = ([jnp.moveaxis(y, 0, 1) for y in perrx]            # [R, NRx]
-                + [jnp.moveaxis(out_dir_rx, 1, 0).reshape(-1, nrx_ * 3),
-                   o, d, live.astype(jnp.float32)[:, None]])
+                + [jnp.moveaxis(out_dir_rx, 1, 0).reshape(-1, nrx_ * 3)])
+        if cfg.keep_rays:
+            cols += [o, d, live.astype(jnp.float32)[:, None]]
         widths = [c.shape[1] for c in cols]
         g = jnp.take(jnp.concatenate(cols, axis=1), inv_perm, axis=0)
         parts = jnp.split(g, np.cumsum(widths)[:-1], axis=1)
         perrx_u = [jnp.moveaxis(p, 1, 0) for p in parts[:6]]
         dir_u = jnp.moveaxis(parts[6].reshape(-1, nrx_, 3), 1, 0)
-        ys = tuple(perrx_u) + (dir_u, parts[7], parts[8],
-                               parts[9][:, 0] != 0.0)
+        tail = ((parts[7], parts[8], parts[9][:, 0] != 0.0)
+                if cfg.keep_rays else (None, None, None))
+        ys = tuple(perrx_u) + (dir_u,) + tail
     return carry, ys
 
 
@@ -775,32 +824,9 @@ def bounce_step_fused(carry, _, *, access, rx_pos, fslm, k_dop,
     excl_row = excl[0]
 
     eps_o = jnp.float32(cfg.occlusion_offset)
-    lv = live if cfg.compact_rays else None
-
-    def shadow_query(od_k, lim_k):
-        tm = None if cfg.parity == "reference" else lim_k
-        return access.intersect_od(od_k, t_max=tm, exclude=excl_row,
-                                   live=lv)
-
-    if nrx <= 4:
-        t_os, idx_os = [], []
-        for k in range(nrx):
-            lim_k = (None if cfg.parity == "reference"
-                     else d2rx[k] - 2.0 * eps_o)
-            t_k, i_k = shadow_query(sh[8 * k:8 * (k + 1)], lim_k)
-            t_os.append(t_k)
-            idx_os.append(i_k)
-        t_o = jnp.stack(t_os)
-        idx_o = jnp.stack(idx_os)
-    else:
-        sh3 = sh.reshape(nrx, 8, R)
-        if cfg.parity == "reference":
-            t_o, idx_o = jax.lax.map(
-                lambda x: shadow_query(x, None), sh3)
-        else:
-            lims = d2rx - 2.0 * eps_o
-            t_o, idx_o = jax.lax.map(
-                lambda x: shadow_query(x[0], x[1][0]), (sh3, lims[:, None]))
+    lims = None if cfg.parity == "reference" else d2rx - 2.0 * eps_o
+    t_o, idx_o = _shadow_intersect_od(access, sh, lims, excl_row, live,
+                                      cfg, nrx, R)
 
     out, write = bounce_post(spec, od2, st2, ex, sh, d2rx, t_self, crossing,
                              excl, live_i, t_o, idx_o, table, fslm, k_dop)
@@ -812,8 +838,9 @@ def bounce_step_fused(carry, _, *, access, rx_pos, fslm, k_dop,
     dir_rx = jnp.where((write != 0)[..., None], -ds_t, 0.0)
 
     carry2 = (od2, st2, live, pat >> 1, excl_row)
-    ys = (te_re, te_im, tm_re, tm_im, tau_o, freq_o, dir_rx,
-          od2[3:6].T, od2[0:3].T, live)
+    ys = (te_re, te_im, tm_re, tm_im, tau_o, freq_o, dir_rx) + (
+        (od2[3:6].T, od2[0:3].T, live) if cfg.keep_rays
+        else (None, None, None))
     return carry2, ys
 
 
@@ -864,11 +891,14 @@ def _resort_active(cfg: TracerConfig, t_padded: int) -> bool:
     drop under sorted rays) while the permutation's in-scan data movement
     cost ~490 ms/step even as stacked row gathers (probe_r4i/r4l,
     benchmarks/README.md round-4 negative results).  The knob stays for
-    topologies where visit lists, not early-outs, dominate.  The
-    fused-shade path manages its own carry layout (never coexists with
-    the walk; <= 2048 tris)."""
+    topologies where visit lists, not early-outs, dominate.  Only consulted
+    on the jnp/xla-shade step: when the fused megakernel step is ACTUALLY
+    taken it manages its own carry layout (scatter_scan receives the fused
+    step and never calls this), but a fused config that falls back to the
+    jnp path — e.g. a >2048-triangle walk scene, exactly where resort=True
+    aims — honors the knob normally."""
     del t_padded
-    return cfg.resort is True and cfg.shade != "fused"
+    return cfg.resort is True
 
 
 def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig,
@@ -983,8 +1013,8 @@ def trace_paths(tris: TriangleSoA,
     eta = precompute_eta(materials, carrier_frequency_ghz)
     access = LocalSceneAccess(tris, intersect_fn, cfg, eta=eta)
 
-    los, rays_los = _los_pass(access, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
-                              k_dop, cfg)
+    los, rays_los, los_blocked = _los_pass(access, rx_pos, tx_pos, rx_vel,
+                                           tx_vel, fslm, k_dop, cfg)
 
     pattern = (transmit_patterns(ntx * P, B) if cfg.spawn_transmission
                else None)
@@ -992,18 +1022,64 @@ def trace_paths(tris: TriangleSoA,
                           transmit_pattern=pattern)
     o0, d0 = carry0[0], carry0[1]
 
+    ys = run_bounce_loop(access, rx_pos, carry0, fslm, k_dop, cfg)
+    scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,
+                                             cfg.keep_rays)
+    return PathsResult(los=los, scatter=scatter, rays_los=rays_los,
+                       rays_scatter=rays_scatter, los_blocked=los_blocked)
+
+
+def fused_block(nrx: int) -> int:
+    """Rays per fused-kernel tile: the per-tile VMEM footprint scales with
+    nrx (the sh/out/nops row stacks are nrx-proportional), so the 4096-ray
+    tile that is fastest at nrx <= 4 blows scoped VMEM from nrx = 16 up
+    (probe_r4m: 17.24 M > 16 M).  Halving the tile per nrx doubling keeps
+    the footprint roughly constant."""
+    if nrx <= 4:
+        return 4096
+    if nrx <= 8:
+        return 2048
+    return 1024
+
+
+def run_bounce_loop(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
+    """Select the bounce-step implementation (fused megakernels vs jnp) and
+    run the scan.  ``carry0`` is the :func:`launch_state` tuple; the fused
+    path converts it to its od/st row layout.  Shared by the single-device
+    tracer and the shard_map body (rays-sharded replicated-scene fused
+    tracing works because the fused kernels are pure per-ray maps)."""
+    nrx = rx_pos.shape[0]
+    tris_ = getattr(access, "tris", None)
+    if tris_ is None:
+        tris_ = access.local.tris
     fused = (cfg.shade == "fused" and not cfg.transmission
              and not cfg.spawn_transmission
              and isinstance(access, LocalSceneAccess)
              and access._table is not None
-             and tris.v0.shape[0] <= 2048)
+             and tris_.v0.shape[0] <= 2048)
+    if cfg.shade == "fused" and not fused:
+        import warnings
+        reasons = []
+        if cfg.transmission or cfg.spawn_transmission:
+            reasons.append("transmission modes are jnp-only")
+        if not isinstance(access, LocalSceneAccess):
+            reasons.append("tri-sharded scene access")
+        elif access._table is None:
+            reasons.append("no fused payload table")
+        if tris_.v0.shape[0] > 2048:
+            reasons.append(f"{tris_.v0.shape[0]} padded triangles > 2048")
+        warnings.warn(
+            "shade='fused' falling back to the jnp bounce path: "
+            + "; ".join(reasons), stacklevel=2)
+        fused = False
     if fused:
         from .ops.bounce_fused import FusedSpec, od_rows_from_vectors
         spec = FusedSpec(nrx=nrx, parity=cfg.parity,
                          grad_geometry=cfg.grad_geometry,
                          grad_positions=cfg.grad_positions,
                          eps_o=cfg.occlusion_offset,
-                         interpret=jax.default_backend() != "tpu")
+                         interpret=jax.default_backend() != "tpu",
+                         block=fused_block(nrx))
         (o0_, d0_, ate_re0, ate_im0, atm_re0, atm_im0, tau0, act0, freq0,
          pat0, pidx0) = carry0
         od0 = od_rows_from_vectors(o0_, d0_)
@@ -1012,11 +1088,6 @@ def trace_paths(tris: TriangleSoA,
         step = partial(bounce_step_fused, access=access, rx_pos=rx_pos,
                        fslm=fslm, k_dop=k_dop, cfg=cfg, spec=spec,
                        table=access._table)
-        ys = scatter_scan(access, rx_pos, carry_f, fslm, k_dop, cfg,
-                          step=step)
-    else:
-        ys = scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)
-    scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P, B,
-                                             cfg.keep_rays)
-    return PathsResult(los=los, scatter=scatter, rays_los=rays_los,
-                       rays_scatter=rays_scatter)
+        return scatter_scan(access, rx_pos, carry_f, fslm, k_dop, cfg,
+                            step=step)
+    return scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg)

@@ -173,3 +173,30 @@ def test_trace_fused_keep_rays():
                        "rays.origins")
     _assert_close_rows(rj.rays_scatter.directions,
                        rf.rays_scatter.directions, "rays.directions")
+
+
+def test_fused_fallback_warns():
+    """shade='fused' on an unsupported config (>2048 padded triangles) must
+    not silently run the jnp path (VERDICT r4 weak #8)."""
+    import warnings
+    from hermespy_rt_tpu.scene.builders import random_soup_scene
+    tris = flatten_scene(random_soup_scene(4100, seed=0))
+    mats = default_materials()
+    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    z1 = jnp.zeros((1, 3), jnp.float32)
+    cfg = TracerConfig(num_paths=256, num_bounces=1, backend="jnp",
+                       keep_rays=False, shade="fused")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        trace_paths(tris, mats, rx, tx, z1, z1, jnp.float32(3.0), cfg)
+    assert any("falling back to the jnp bounce path" in str(w.message)
+               for w in rec)
+
+
+def test_fused_spec_rejects_silent_grad_drop():
+    """FusedSpec(grad_positions=False, grad_geometry=True) would silently
+    drop geometry cotangents at the ops level — must raise."""
+    from hermespy_rt_tpu.ops.bounce_fused import FusedSpec
+    with pytest.raises(ValueError, match="grad_geometry"):
+        FusedSpec(nrx=1, grad_geometry=True, grad_positions=False)

@@ -85,3 +85,41 @@ def test_coverage_map():
     assert not grid.los_blocked.any()  # open box interior: all LoS
     # closer cells receive more power than corner cells
     assert grid.gain_db[2, 2] >= grid.gain_db[0, 0]
+
+
+def test_los_blocked_under_transmission():
+    """PathsResult.los_blocked carries the real occlusion decision: under
+    transmission=True a blocked LoS has NONZERO penetration-loss gain, so
+    inferring blockage from |a_te| == 0 (the pre-r5 coverage-map bug) is
+    wrong.  RX inside the closed box, TX outside: blocked either way."""
+    cfg = hrt.TracerConfig(num_paths=64, num_bounces=1, backend="jnp",
+                           keep_rays=False, parity="physical",
+                           transmission=True)
+    res = hrt.trace(hrt.box_scene(), [[0.0, 0.0, 1.0]], [[0.0, 0.0, 40.0]],
+                    carrier_frequency=3.0, config=cfg)
+    blocked = np.asarray(res.los_blocked)
+    assert blocked.shape == (1, 1) and blocked[0, 0]
+    # the amplitude is the penetration-loss gain — nonzero despite blockage
+    assert np.abs(np.asarray(res.los.a_te))[0, 0, 0] > 0.0
+    # control: same geometry without transmission zeroes the gain but
+    # reports the same decision
+    cfg0 = hrt.TracerConfig(num_paths=64, num_bounces=1, backend="jnp",
+                            keep_rays=False, parity="physical")
+    res0 = hrt.trace(hrt.box_scene(), [[0.0, 0.0, 1.0]], [[0.0, 0.0, 40.0]],
+                     carrier_frequency=3.0, config=cfg0)
+    assert np.asarray(res0.los_blocked)[0, 0]
+    assert np.abs(np.asarray(res0.los.a_te))[0, 0, 0] == 0.0
+
+
+def test_coverage_map_transmission():
+    """Coverage maps report los_blocked from the tracer decision (not the
+    amplitude) when penetration loss keeps blocked cells' gain nonzero."""
+    from hermespy_rt_tpu.models.coverage import coverage_map
+    cfg = hrt.TracerConfig(num_paths=64, num_bounces=1, backend="jnp",
+                           keep_rays=False, parity="physical",
+                           transmission=True)
+    grid = coverage_map(hrt.box_scene(), [[0.0, 0.0, 40.0]],
+                        x_range=(-2, 2), y_range=(-2, 2), resolution=2.0,
+                        height=1.0, config=cfg, batch_size=9)
+    assert grid.los_blocked.all()  # TX outside the closed box: every cell
+    assert np.isfinite(grid.gain_db).all()
