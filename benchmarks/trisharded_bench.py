@@ -8,7 +8,11 @@ Same total device count (8), three layouts of the B=3 fwd+bwd canyon step:
 Median-of-5 walls; the ratio to the replicated layout isolates what
 triangle sharding costs (pmin pair per query + ONE masked-psum payload
 fetch per bounce + normal_at psum, after the r4 single-psum refactor).
-Writes benchmarks/logs/trisharded_bench_r4.json.
+Writes benchmarks/logs/trisharded_bench_r5.json.
+
+r5: the tri-sharded rows run BOTH payload-table placements
+(tri_shard_table False = replicated-table local fetch, True = r4-style
+masked-psum fetch) under the butterfly argmin.
 """
 import json
 import os
@@ -38,13 +42,14 @@ def main():
     tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
     z = jnp.zeros((1, 3), jnp.float32)
     P, B = 1 << 16, 3
-    cfg = TracerConfig(num_paths=P, num_bounces=B, backend="jnp",
-                       keep_rays=False, unroll_bounces=True)
-
     rows = []
     base = None
-    for n_rays, n_tris in ((8, 1), (4, 2), (2, 4)):
+    for n_rays, n_tris, tst in ((8, 1, "auto"), (4, 2, False), (4, 2, True),
+                                (2, 4, False), (2, 4, True)):
         mesh = default_mesh(num_ray_shards=n_rays, num_tri_shards=n_tris)
+        cfg = TracerConfig(num_paths=P, num_bounces=B, backend="jnp",
+                           keep_rays=False, unroll_bounces=True,
+                           tri_shard_table=tst)
 
         def loss_fn(m):
             r = trace_paths_sharded(tris, m, rx, tx, z, z, jnp.float32(3.0),
@@ -65,6 +70,8 @@ def main():
         if base is None:
             base = med
         rows.append(dict(mesh=f"rays={n_rays} x tris={n_tris}",
+                         table=("replicated" if n_tris > 1 and tst is False
+                                else ("sharded" if n_tris > 1 else "n/a")),
                          median_ms=round(med, 1),
                          walls_ms=[round(w, 1) for w in walls],
                          vs_replicated=round(med / base, 3),
@@ -73,10 +80,10 @@ def main():
 
     rec = dict(paths=P, bounces=B, reps=5, host_cores=2, virtual=True,
                note=("vs_replicated isolates triangle-sharding cost at "
-                     "constant device count; r4 fetch = ONE masked psum"),
+                     "constant device count; r5: butterfly argmin; table column says payload placement"),
                rows=rows)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "logs", "trisharded_bench_r4.json")
+                            "logs", "trisharded_bench_r5.json")
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
     print("written", out_path, flush=True)

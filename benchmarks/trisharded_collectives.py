@@ -33,6 +33,10 @@ from hermespy_rt_tpu.parallel import default_mesh, trace_paths_sharded
 from hermespy_rt_tpu.scene import load_hrt, flatten_scene
 
 
+_DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+
 def count(cfg, mesh, tris, mats, rx, tx, z):
     def loss_fn(m):
         r = trace_paths_sharded(tris, m, rx, tx, z, z, jnp.float32(3.0),
@@ -43,14 +47,22 @@ def count(cfg, mesh, tris, mats, rx, tx, z):
     lowered = jax.jit(jax.value_and_grad(loss_fn)).lower(mats)
     hlo = lowered.compile().as_text()
     kinds = {}
+    mbytes = 0.0
     for op in ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all"):
-        n = len(re.findall(rf"\b{op}\b.*=|= {op}", hlo))
         # count op starts only (fusion-internal references excluded)
-        n = len(re.findall(rf"^\s*%?\S+ = \S+ {op}\(", hlo, re.M))
-        if n:
-            kinds[op] = n
-    return kinds, sum(kinds.values())
+        starts = re.findall(rf"^\s*%?\S+ = (\S+) {op}\(", hlo, re.M)
+        if starts:
+            kinds[op] = len(starts)
+        # bytes moved per op = its result shape (per participating device)
+        for shape in starts:
+            for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape):
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                mbytes += n * _DTYPE_BYTES.get(dt, 4) / 1e6
+    return kinds, sum(kinds.values()), round(mbytes, 2)
 
 
 def main():
@@ -61,15 +73,28 @@ def main():
     tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
     z = jnp.zeros((1, 3), jnp.float32)
     B = 3
-    cfg = TracerConfig(num_paths=1 << 12, num_bounces=B, backend="jnp",
-                       keep_rays=False, unroll_bounces=True)
     mesh = default_mesh(num_ray_shards=2, num_tri_shards=4)
-    kinds, total = count(cfg, mesh, tris, mats, rx, tx, z)
-    rec = dict(mesh="rays=2 x tris=4", bounces=B, collectives=kinds,
-               total=total, per_bounce=round(total / B, 1))
+    rows = {}
+    for tag, tst in (("replicated_table+butterfly_argmin (r5 default)",
+                      "auto"),
+                     ("sharded_table+butterfly_argmin", True)):
+        cfg = TracerConfig(num_paths=1 << 12, num_bounces=B, backend="jnp",
+                           keep_rays=False, unroll_bounces=True,
+                           tri_shard_table=tst)
+        kinds, total, mbytes = count(cfg, mesh, tris, mats, rx, tx, z)
+        rows[tag] = dict(collectives=kinds, total=total,
+                         per_bounce=round(total / B, 1),
+                         mbytes_per_step=mbytes)
+    rec = dict(mesh="rays=2 x tris=4", bounces=B, rows=rows,
+               note=("r4 control (sharded table + double-pmin argmin): "
+                     "31 total, 10.3/bounce — see the r4 copy of this "
+                     "file.  The butterfly argmin trades 2 chained "
+                     "all-reduces per query for log2(n) explicit "
+                     "collective-permutes: MORE HLO ops, FEWER serial "
+                     "exchange rounds on a real ICI ring."))
     print(json.dumps(rec, indent=2))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs",
-                       "trisharded_collectives.json")
+                       "trisharded_collectives_r5.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=2)
 

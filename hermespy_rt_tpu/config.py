@@ -105,30 +105,26 @@ class TracerConfig:
     # double-buffering beyond), "resident", "dma" (force a variant).
     walk: "bool | str" = "auto"
     # Walk prepass granularity: "ray" tests every ray against every coarse
-    # box (tightest lists, O(R x C) XLA work — ~26% of the config5 step,
-    # trace_r4h); "tile" replaces it with ONE interval-arithmetic slab test
-    # per (ray tile, box) over the tile's origin AABB and inv-direction
+    # box (tightest lists) — since r5 swept by a Pallas kernel with
+    # arithmetic bit-identical to the XLA form, which cost ~26% of the
+    # config5 step (trace_r4h) and remains as "ray_xla" for A/B control;
+    # "tile" replaces it with ONE interval-arithmetic slab test per
+    # (ray tile, box) over the tile's origin AABB and inv-direction
     # interval (O(nRT x C), conservative — the kernel re-tests fine AABBs
     # and exact geometry, so results stay bit-identical).  "tile" needs
     # per-tile direction coherence to prune well (pair with
-    # launch_order="coherent" and resort=True).  "auto" resolves to "ray":
-    # measured on config5 the conservative tile lists cost the walk kernel
-    # more than the prepass saves even with the resort on (probe_r4l C vs
-    # B: +135 ms kernels vs -180 ms prepass).
+    # launch_order="coherent").  "auto" resolves to "ray": measured on
+    # config5 the conservative tile lists cost the walk kernel more than
+    # the prepass saves (probe_r4l C vs B: +135 ms kernels vs -180 ms
+    # prepass).
     walk_prepass: str = "auto"
-    # Mid-trace ray re-sorting (big-scene walk runs): after each bounce's
-    # shading, rays are permuted into (direction octant, hit-position
-    # Morton) order so bounce b+1's query AND bounce b's shadow query see
-    # spatially-tight, direction-coherent ray tiles — launch_order only
-    # orders bounce 1.  Pure relabelling inside the trace: outputs are
-    # scattered back to original path slots, so results are bit-identical.
-    # "auto" resolves to OFF: measured on the 131k-tri config5 city the
-    # walk kernel's near-to-far early-out already absorbs bounce>=2
-    # incoherence (kernel wall did not drop under sorted rays) while the
-    # in-scan permutation cost ~490 ms/step (probe_r4i/r4l; 1261 vs 772 ms
-    # e2e).  True forces it on for topologies where visit lists, not
-    # early-outs, dominate.  (xla shade path; ignored under shade="fused".)
-    resort: "bool | str" = "auto"
+    # (Mid-trace ray re-sorting — the r4 `resort` knob — was DELETED in r5:
+    # measured negative on the only large scene (probe_r4i/l: 772 -> 1261
+    # ms e2e; the walk kernel's near-to-far early-out already absorbs
+    # bounce>=2 incoherence), and its bit-identity contract proved
+    # unenforceable — XLA's fma contraction choices are graph-dependent, so
+    # the sorted and unsorted graphs drift by 1-2 ulp whenever anything
+    # else in the graph changes.  benchmarks/README.md round-5 notes.)
     # Launch-direction assignment: "fibonacci" enumerates paths exactly like
     # the reference (/root/reference/src/compute_paths.c:442-456 — adjacent
     # path indices are ~2.4 rad apart in azimuth, so a 1024-ray kernel tile
@@ -207,6 +203,17 @@ class TracerConfig:
     # zeroed.  Requires grad_geometry=False.  The jnp path ignores this
     # knob (XLA's own DCE covers it).
     grad_positions: bool = True
+    # Payload-table placement under triangle sharding (trace_paths_sharded
+    # with a tris mesh axis > 1).  The kernel operands triangle sharding
+    # exists to split are the pre-expanded G matrices (~1 KB/triangle);
+    # the 27-column payload table is 108 B/triangle.  False REPLICATES the
+    # table per shard: every per-hit fetch and the parity theta-clobber
+    # normal fetch become local gathers with ZERO collectives (the r4
+    # masked psums were 18 of 31 collectives/step,
+    # trisharded_collectives.json).  True shards it (masked-psum fetch, the
+    # r4 behavior) for scenes whose replicated table would not fit.
+    # "auto" replicates up to 2^22 padded triangles (~450 MB/shard).
+    tri_shard_table: "bool | str" = "auto"
     # Transmission-path spawning (physical mode only): rays are partitioned
     # over all 2**num_bounces reflect/transmit interaction sequences (static
     # shapes, no dynamic tree growth); a "transmit" interaction continues
@@ -257,12 +264,10 @@ class TracerConfig:
         if self.walk not in (False, True, "auto", "resident", "dma"):
             raise ValueError("walk must be False, True, 'auto', 'resident' "
                              f"or 'dma', got {self.walk!r}")
-        if self.walk_prepass not in ("auto", "ray", "tile"):
-            raise ValueError("walk_prepass must be 'auto', 'ray' or 'tile',"
-                             f" got {self.walk_prepass!r}")
-        if self.resort not in (False, True, "auto"):
-            raise ValueError("resort must be False, True or 'auto', got "
-                             f"{self.resort!r}")
+        if self.walk_prepass not in ("auto", "ray", "ray_xla", "tile"):
+            raise ValueError("walk_prepass must be 'auto', 'ray', "
+                             f"'ray_xla' or 'tile', got "
+                             f"{self.walk_prepass!r}")
         if self.launch_order not in ("auto", "fibonacci", "coherent"):
             raise ValueError("launch_order must be 'auto', 'fibonacci' or "
                              f"'coherent', got {self.launch_order!r}")
@@ -290,6 +295,9 @@ class TracerConfig:
             raise ValueError("spawn_transmission=True requires "
                              "parity='physical' (the reference has no "
                              "refraction branch to be parity-faithful to)")
+        if self.tri_shard_table not in (False, True, "auto"):
+            raise ValueError("tri_shard_table must be False, True or "
+                             f"'auto', got {self.tri_shard_table!r}")
         if self.refraction not in ("straight", "snell"):
             raise ValueError("refraction must be 'straight' or 'snell', "
                              f"got {self.refraction!r}")

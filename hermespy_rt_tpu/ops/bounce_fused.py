@@ -108,6 +108,13 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+# PROBE-ONLY ablation switch (benchmarks/probe_r5d.py): entries in this set
+# cut pieces out of the slim backward kernels to attribute their device
+# time.  Semantics are wrong under any non-empty value — never set outside
+# a perf probe.  Recognized: "novjp", "noscatter", "stepped_acc".
+_ABLATE = frozenset()
+
+
 def od_rows_from_vectors(o, d):
     """[R, 3] o/d -> the intersect kernel's [8, R] od rows (d, o, zeros)."""
     R = o.shape[0]
@@ -400,12 +407,18 @@ def _pre_bwd_slim_kernel(limbse_ref, st_ref, act_ref, idx_ref, res_ref,
     oht = _oht_bf16(safe, t)
     eta_rows = _fetch_rows_oht(limbse_ref[...], oht)            # [12, B]
     res = res_ref[...]
-    f = functools.partial(_pre_light, live=live, cos_t1=res[0:1],
-                          sin_t1=res[1:2], fscale=res[2:3])
-    _, vjpfn = jax.vjp(f, eta_rows, st_ref[...])
-    d_eta, d_st = vjpfn(dst2_ref[...])
+    if "novjp" in _ABLATE:                     # probe-only attribution
+        d_eta, d_st = eta_rows, dst2_ref[...]
+    else:
+        f = functools.partial(_pre_light, live=live, cos_t1=res[0:1],
+                              sin_t1=res[1:2], fscale=res[2:3])
+        _, vjpfn = jax.vjp(f, eta_rows, st_ref[...])
+        d_eta, d_st = vjpfn(dst2_ref[...])
     dst_ref[...] = d_st
-    dtab_ref[...] += _scatter_add_oht(oht, d_eta)               # [T, 36]
+    if "stepped_acc" in _ABLATE:
+        dtab_ref[...] = _scatter_add_oht(oht, d_eta)[None]
+    elif "noscatter" not in _ABLATE:
+        dtab_ref[...] += _scatter_add_oht(oht, d_eta)           # [T, 36]
 
 
 def _pre_bwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
@@ -618,11 +631,17 @@ def _post_bwd_slim_kernel(limbss_ref, st2_ref, excl_ref, res_ref, dout_ref,
     safe = jnp.maximum(excl, 0)
     oht = _oht_bf16(safe, t)
     ss_rows = _fetch_rows_oht(limbss_ref[...], oht)             # [2, B]
-    f = functools.partial(_post_light, res=res_ref[...], spec=spec)
-    _, vjpfn = jax.vjp(f, ss_rows, st2_ref[...])
-    d_ss, d_st2 = vjpfn(dout_ref[...])
+    if "novjp" in _ABLATE:                     # probe-only attribution
+        d_ss, d_st2 = ss_rows, dout_ref[...][0:6]
+    else:
+        f = functools.partial(_post_light, res=res_ref[...], spec=spec)
+        _, vjpfn = jax.vjp(f, ss_rows, st2_ref[...])
+        d_ss, d_st2 = vjpfn(dout_ref[...])
     dst2_ref[...] = d_st2
-    dtab_ref[...] += _scatter_add_oht(oht, d_ss)                # [T, 6]
+    if "stepped_acc" in _ABLATE:
+        dtab_ref[...] = _scatter_add_oht(oht, d_ss)[None]
+    elif "noscatter" not in _ABLATE:
+        dtab_ref[...] += _scatter_add_oht(oht, d_ss)            # [T, 6]
 
 
 def _post_fwd_kernel(sc_ref, limbs_ref, limbsn_ref, od2_ref, st2_ref,
@@ -841,23 +860,37 @@ def _bounce_pre_bwd_vjp(spec, res, cots):
         # measured bulk of the 8.1 ms slim backward, VERDICT r4 item 2)
         ce = len(ETA_FIELDS)
         limbs_e = _limb_table(table[:, _GEOM:])                 # [3*12, T]
+        stepped = "stepped_acc" in _ABLATE
+        n_steps = r_pad // block
+        if stepped:
+            tab_shape = jax.ShapeDtypeStruct((n_steps, t, 3 * ce),
+                                             jnp.float32)
+            tab_spec = pl.BlockSpec((1, t, 3 * ce), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            sem = ("parallel",)
+        else:
+            tab_shape = jax.ShapeDtypeStruct((t, 3 * ce), jnp.float32)
+            tab_spec = acc((t, 3 * ce))
+            sem = ("arbitrary",)
         shapes = [
             jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st
-            jax.ShapeDtypeStruct((t, 3 * ce), jnp.float32),     # d_eta limbs
+            tab_shape,                                          # d_eta limbs
         ]
         outs = pl.pallas_call(
             functools.partial(_pre_bwd_slim_kernel, spec=spec, t=t),
-            grid=(r_pad // block,),
+            grid=(n_steps,),
             in_specs=[_whole(), _row(6, block), _row(1, block),
                       _row(1, block), _row(3, block), _row(6, block)],
-            out_specs=[_row(6, block), acc((t, 3 * ce))],
+            out_specs=[_row(6, block), tab_spec],
             out_shape=shapes,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=sem),
             interpret=spec.interpret,
         )(limbs_e, st_p, act_p, idx_p, _pad_rows(res_pre, r_pad),
           _pad_rows(d_st2, r_pad))
         d_st, d_tab3 = outs
+        if stepped:
+            d_tab3 = jnp.sum(d_tab3, axis=0)
         d_tab = jnp.pad(_sum_limb_groups(d_tab3), ((0, 0), (_GEOM, 0)))
         return (None, d_st[:, :R], None, None, d_tab, None, None, None)
 
@@ -990,24 +1023,37 @@ def _bounce_post_bwd(spec, res, cots):
         # the table cotangent covers ONLY the (s, s1_alpha) pair: the sole
         # payload columns :func:`_post_light` touches (VERDICT r4 item 2)
         limbs_ss = _limb_table(table[:, _GEOM + 10:_GEOM + 12])  # [6, T]
+        stepped = "stepped_acc" in _ABLATE
+        n_steps = r_pad // block
+        if stepped:
+            tab_shape = jax.ShapeDtypeStruct((n_steps, t, 6), jnp.float32)
+            tab_spec = pl.BlockSpec((1, t, 6), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            sem = ("parallel",)
+        else:
+            tab_shape = jax.ShapeDtypeStruct((t, 6), jnp.float32)
+            tab_spec = acc((t, 6))
+            sem = ("arbitrary",)
         shapes = [
             jax.ShapeDtypeStruct((6, r_pad), jnp.float32),      # d_st2
-            jax.ShapeDtypeStruct((t, 6), jnp.float32),          # d_ss limbs
+            tab_shape,                                          # d_ss limbs
         ]
         outs = pl.pallas_call(
             functools.partial(_post_bwd_slim_kernel, spec=spec, t=t),
-            grid=(r_pad // block,),
+            grid=(n_steps,),
             in_specs=[_whole(), _row(6, block), _row(1, block),
                       _row(nrx * 6, block), _row(nrx * 6, block)],
-            out_specs=[_row(6, block), acc((t, 6))],
+            out_specs=[_row(6, block), tab_spec],
             out_shape=shapes,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=sem),
             interpret=spec.interpret,
         )(limbs_ss, _pad_rows(st2, r_pad),
           _pad_rows(jax.lax.stop_gradient(excl), r_pad, value=-1),
           _pad_rows(res_post, r_pad), _pad_rows(d_out, r_pad))
         d_st2, d_tab3 = outs
+        if stepped:
+            d_tab3 = jnp.sum(d_tab3, axis=0)
         d_tab = jnp.pad(_sum_limb_groups(d_tab3), ((0, 0), (_GEOM + 10, 0)))
         return (None, cut(d_st2), None, None, None, None, None, None, None,
                 None, None, d_tab, None, None)

@@ -672,8 +672,88 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
     jax.lax.fori_loop(0, n * group, body, 0)
 
 
+def _prepass_kernel(abt_ref, odt_ref, limt_ref, reach_ref, key_ref):
+    """Slab-test one (ray sub-tile, box chunk) block: rays on SUBLANES,
+    boxes on LANES, so the per-box reductions (any-reach, nearest-entry
+    key) are cheap sublane reductions emitting clean [1, Cc] output rows.
+    Arithmetic is IDENTICAL to the XLA ``chunk_fn`` form —
+    ``(plane - o) * inv`` then min/max per axis — so reach sets, keys and
+    hence visit lists (and every downstream hit decision) are bit-identical
+    to the r2-r4 XLA prepass."""
+    odt = odt_ref[...]                                   # [brp, 8]
+    d = odt[:, 0:3]
+    o = odt[:, 3:6]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)            # [brp, 3]
+    lim = limt_ref[...]                                  # [brp, 1]
+    abt = abt_ref[...]                                   # [8, Cc]
+    t_near = t_far = None
+    for a in range(3):
+        lo = (abt[a:a + 1, :] - o[:, a:a + 1]) * inv[:, a:a + 1]
+        hi = (abt[3 + a:4 + a, :] - o[:, a:a + 1]) * inv[:, a:a + 1]
+        na = jnp.minimum(lo, hi)                         # [brp, Cc]
+        fa = jnp.maximum(lo, hi)
+        t_near = na if a == 0 else jnp.maximum(t_near, na)
+        t_far = fa if a == 0 else jnp.minimum(t_far, fa)
+    reach_r = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= lim)
+               & (lim >= 0.0))
+    key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
+    reach_ref[...] = jnp.any(reach_r, axis=0, keepdims=True
+                             ).astype(jnp.int32)
+    key_ref[...] = jnp.min(key_r, axis=0, keepdims=True)
+
+
+def _prepass_reach_key_pallas(od, lim, ab_use, block_rays: int,
+                              interpret: bool):
+    """(reach bool[nRT, C], key f32[nRT, C]) via the Pallas slab-test
+    kernel.  The XLA form of this O(rays x boxes) sweep was ~26% of the
+    config-5 step wall (trace_r4h: lax.map chunks, [3, nRT, C, br]
+    broadcast materialisations through HBM); the kernel streams it through
+    VMEM in [brp, Cc] blocks.  Sub-tile results fold to walk-tile
+    granularity in XLA (any/min over the sub-tiles of each kernel ray
+    tile)."""
+    r_pad = od.shape[1]
+    n_ent = ab_use.shape[0]
+    brp = min(256, block_rays)
+    cc = 256
+    c_pad = _round_up(n_ent, cc)
+    abt = jnp.pad(ab_use, ((0, c_pad - n_ent), (0, 0))).T   # [8, Cpad]
+    odt = od.T                                               # [r_pad, 8]
+    limt = lim.reshape(r_pad, 1)
+    grid = (r_pad // brp, c_pad // cc)
+    reach, key = pl.pallas_call(
+        _prepass_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, cc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((brp, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((brp, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, cc), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, cc), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad // brp, c_pad), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad // brp, c_pad), jnp.float32),
+        ],
+        compiler_params=_GRID_SEMANTICS,
+        interpret=interpret,
+    )(abt, odt, limt)
+    k = block_rays // brp
+    if k > 1:
+        n_rt = r_pad // block_rays
+        reach = jnp.any(reach.reshape(n_rt, k, c_pad) != 0, axis=1)
+        key = jnp.min(key.reshape(n_rt, k, c_pad), axis=1)
+    else:
+        reach = reach != 0
+    return reach[:, :n_ent], key[:, :n_ent]
+
+
 def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
-                  tile_chunk: int = 32, mode: str = "ray"):
+                  tile_chunk: int = 32, mode: str = "ray",
+                  interpret: bool = False):
     """Per-ray-tile visit lists for the walk kernel (all jnp, fwd-only).
 
     Returns the packed visit array i32[nRT8, C]: col 0 the count, cols 1..
@@ -688,9 +768,12 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
 
     ``mode`` selects the slab-test granularity:
 
-    * ``"ray"`` — every ray tests every coarse box (O(R x C) VPU work in
-      XLA land; ~26% of the config5 step wall, trace_r4h) and the tile
-      reaches a box if ANY member ray does.  Maximally tight lists.
+    * ``"ray"`` — every ray tests every coarse box and the tile reaches a
+      box if ANY member ray does (maximally tight lists), swept by the
+      Pallas kernel (:func:`_prepass_reach_key_pallas`) — bit-identical
+      reach/key arithmetic to the retired XLA form, which cost ~26% of
+      the config-5 step wall (trace_r4h) and is kept as ``"ray_xla"`` for
+      A/B control.
     * ``"tile"`` — each ray tile is summarized by its origin AABB and
       per-axis inv-direction interval; one interval-arithmetic slab test
       per (tile, box) lower-bounds every member ray's entry distance and
@@ -754,6 +837,9 @@ def _walk_prepass(od, lim, aabbs, block_rays: int, group: int = 1,
         reach = ((far_ub >= 0.0) & (near_lb <= far_ub)
                  & (near_lb <= lim_max[:, None]) & any_live[:, None])
         key = jnp.maximum(near_lb, 0.0)
+    elif mode == "ray":
+        reach, key = _prepass_reach_key_pallas(od, lim, ab_use, block_rays,
+                                               interpret)
     else:
         lim_t = lim.reshape(n_rt, 1, block_rays)
 
@@ -948,7 +1034,7 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
         if live_p is not None:
             lim = jnp.where(live_p[None, :], lim, -1.0)
         visits = _walk_prepass(od, lim, aabbs, block_rays, group,
-                               mode=walk_prepass)
+                               mode=walk_prepass, interpret=interpret)
         # The walk kernels take G pre-expanded (the DMA variant's manual
         # HBM->VMEM G copies need lane-128 slices — Mosaic DMA alignment);
         # F builds and expands IN-KERNEL once per ray tile

@@ -53,6 +53,10 @@ __all__ = ["default_mesh", "trace_paths_sharded", "TriShardedSceneAccess",
 _I32_MAX = np.int32(2**31 - 1)
 
 
+def _no_intersect(*a, **k):  # replicated-table access never intersects
+    raise RuntimeError("the replicated-payload access is fetch-only")
+
+
 def initialize_distributed(**kwargs):
     """Multi-host bring-up: thin wrapper over ``jax.distributed.initialize``
     (coordinator address etc. from env or kwargs).  Call once per host before
@@ -84,15 +88,69 @@ class TriShardedSceneAccess:
     """
 
     def __init__(self, tris_local: TriangleSoA, axis_name: str,
-                 cfg: TracerConfig, eta=None, intersect_fn=None):
+                 cfg: TracerConfig, eta=None, intersect_fn=None,
+                 tris_full: Optional[TriangleSoA] = None):
         self.local = LocalSceneAccess(tris_local, intersect_fn, cfg, eta=eta)
         self.axis = axis_name
         self.shard_size = tris_local.v0.shape[0]
         self.offset = jax.lax.axis_index(axis_name) * self.shard_size
+        try:
+            self.axis_size = jax.lax.axis_size(axis_name)
+        except Exception:  # pragma: no cover - older JAX
+            self.axis_size = 0
+        # Replicated-payload mode (r5): the intersect kernel's operands (the
+        # pre-expanded G matrices, ~1 KB/triangle) are what triangle
+        # sharding exists to split; the 27-column payload TABLE is 108 B per
+        # triangle and fits replicated far past the kernel's limit.  With a
+        # replicated table every per-hit fetch and the parity theta-clobber
+        # normal fetch become LOCAL gathers — zero collectives — where the
+        # r4 masked psums were 18 of the 31 collectives/step
+        # (trisharded_collectives.json).  Global hit ids index the full
+        # table directly (shard offsets already applied by intersect).
+        self.full = None
+        if tris_full is not None:
+            self.full = LocalSceneAccess(
+                tris_full, intersect_fn=_no_intersect, cfg=cfg, eta=eta)
+
+    def _lex_min(self, t_loc, i_glob):
+        """Global lexicographic (t, idx) min over the triangle shards.
+
+        Fast path: a butterfly of log2(n) ``ppermute`` exchanges, each
+        moving ONE packed f32[2, R] array (t row + exactly-f32-representable
+        global index row) and folding with a local lexicographic
+        compare-select — the reference's first-strict-min order under any
+        shard count.  The r4 implementation ran two chained ``pmin``
+        all-reduces (distance, then masked index), which lowered to 18
+        collective-permutes per step at 4 shards
+        (trisharded_collectives.json); the butterfly runs 2 per argmin.
+        Falls back to the double-pmin when the axis size is not a power of
+        two or indices exceed f32's 2^24 exact-integer range."""
+        n = self.axis_size
+        total = n * self.shard_size if n else 0
+        if n and n & (n - 1) == 0 and total <= (1 << 24):
+            miss = jnp.float32(1 << 24)
+            i_f = jnp.where(i_glob < _I32_MAX, i_glob.astype(jnp.float32),
+                            miss)
+            pair = jnp.stack([t_loc, i_f])                    # [2, R]
+            for k in range(n.bit_length() - 1):
+                perm = [(r, r ^ (1 << k)) for r in range(n)]
+                other = jax.lax.ppermute(pair, self.axis, perm)
+                t_o, i_o = other[0], other[1]
+                better = (t_o < pair[0]) | ((t_o == pair[0])
+                                            & (i_o < pair[1]))
+                pair = jnp.where(better[None], other, pair)
+            t_min = pair[0]
+            i_min = jnp.where(pair[1] < miss, pair[1].astype(jnp.int32),
+                              _I32_MAX)
+            return t_min, i_min
+        t_min = jax.lax.pmin(t_loc, self.axis)
+        cand = jnp.where((t_loc == t_min) & (i_glob < _I32_MAX), i_glob,
+                         _I32_MAX)
+        return t_min, jax.lax.pmin(cand, self.axis)
 
     def intersect(self, o, d, t_max=None, exclude=None, live=None):
-        # decisions only — see LocalSceneAccess.intersect (also: pmin has no
-        # differentiation rule, and must never need one here)
+        # decisions only — see LocalSceneAccess.intersect (also: the min
+        # combiners have no differentiation rule, and must never need one)
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
         if exclude is not None:
@@ -101,9 +159,7 @@ class TriShardedSceneAccess:
             exclude = jnp.asarray(exclude, jnp.int32) - self.offset
         t_loc, i_loc = self.local.intersect(o, d, t_max, exclude, live)
         i_glob = jnp.where(i_loc >= 0, i_loc + self.offset, _I32_MAX)
-        t_min = jax.lax.pmin(t_loc, self.axis)
-        cand = jnp.where((t_loc == t_min) & (i_loc >= 0), i_glob, _I32_MAX)
-        i_min = jax.lax.pmin(cand, self.axis)
+        t_min, i_min = self._lex_min(t_loc, i_glob)
         idx = jnp.where(jnp.isfinite(t_min) & (i_min < _I32_MAX), i_min, -1)
         return t_min, idx.astype(jnp.int32)
 
@@ -113,6 +169,9 @@ class TriShardedSceneAccess:
         return jnp.clip(li, 0, self.shard_size - 1), mine
 
     def fetch(self, idx_safe):
+        if self.full is not None:
+            # replicated table: a LOCAL gather — no collective at all
+            return self.full.fetch(idx_safe)
         li, mine = self._owned(idx_safe)
         # ONE collective for the whole 27-column payload: psum the fused
         # [..., 27] row (masked to the owning shard) and split afterwards,
@@ -125,6 +184,8 @@ class TriShardedSceneAccess:
         return self.local.split_rows(row)
 
     def normal_at(self, idx_safe):
+        if self.full is not None:
+            return self.full.normal_at(idx_safe)
         li, mine = self._owned(idx_safe)
         n = self.local.normal_at(li)
         return jax.lax.psum(n * mine.astype(jnp.float32)[..., None], self.axis)
@@ -214,9 +275,24 @@ def trace_paths_sharded(tris: TriangleSoA,
     ray_spec = lambda x: P(*(("rays",) + (None,) * (x.ndim - 1)))
     carry_specs = tuple(ray_spec(c) for c in carry0)
 
-    def body(tris_l, eta_l, rx_pos_l, fslm_l, k_dop_l, *carry):
+    # Payload-table placement (TracerConfig.tri_shard_table): replicating
+    # the 108 B/tri payload table while the kernel operands stay sharded
+    # turns every per-hit fetch + theta-clobber normal fetch into local
+    # gathers — zero collectives (was 18 of 31/step, r4) — at a replicated
+    # memory cost far below the kernel G matrices sharding exists to split.
+    t_padded = tris.v0.shape[0]
+    tst = cfg.tri_shard_table
+    rep_table = tri_sharded and not (
+        tst is True or (tst == "auto" and t_padded > (1 << 22)))
+
+    def body(tris_l, eta_l, rx_pos_l, fslm_l, k_dop_l, *rest):
+        if rep_table:
+            tris_f, *carry = rest
+        else:
+            tris_f, carry = None, rest
         if tri_sharded:
-            access = TriShardedSceneAccess(tris_l, "tris", cfg, eta=eta_l)
+            access = TriShardedSceneAccess(tris_l, "tris", cfg, eta=eta_l,
+                                           tris_full=tris_f)
             return scatter_scan(access, rx_pos_l, tuple(carry), fslm_l,
                                 k_dop_l, cfg)
         # replicated scene: the full step selection (incl. the fused
@@ -236,13 +312,15 @@ def trace_paths_sharded(tris: TriangleSoA,
         P(None, None, "rays", None),
     ) + ((P(None, "rays", None), P(None, "rays", None), P(None, "rays"))
          if cfg.keep_rays else (None, None, None))
+    extra = (tris,) if rep_table else ()
+    extra_specs = ((_tris_specs(tris, False),) if rep_table else ())
     ys = shard_map(
         body, mesh=mesh,
         in_specs=(_tris_specs(tris, tri_sharded), P(), P(), P(), P())
-        + carry_specs,
+        + extra_specs + carry_specs,
         out_specs=out_specs,
         check_vma=False,
-    )(tris, eta, rx_pos, fslm, k_dop, *carry0)
+    )(tris, eta, rx_pos, fslm, k_dop, *extra, *carry0)
 
     scatter, rays_scatter = assemble_scatter(ys, d0, o0, nrx, ntx, P_, B,
                                              cfg.keep_rays)

@@ -300,11 +300,10 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
             # fold liveness into their t-limit rows instead
             wp = cfg.walk_prepass
             if wp == "auto":
-                # "ray" measured faster e2e even with the resort active:
-                # the tile-interval lists are loose enough that the walk
-                # kernel pays back more than the prepass saves
-                # (+135 ms kernels vs -180 ms prepass at config5,
-                # probe_r4l C vs B)
+                # "ray" (since r5: the Pallas slab-test sweep) beat "tile"
+                # e2e on config5: the tile-interval lists are loose enough
+                # that the walk kernel pays back more than the prepass
+                # saves (+135 ms kernels vs -180 ms prepass, probe_r4l)
                 wp = "ray"
             fn = make_pallas_intersect(tris, block_rays=cfg.block_rays,
                                        block_tris=cfg.block_tris,
@@ -488,62 +487,19 @@ def _los_pass(access: LocalSceneAccess, rx_pos, tx_pos, rx_vel, tx_vel, fslm,
     return los, rays, blocked.reshape(nrx, ntx)
 
 
-def _resort_key(o, d, live):
-    """Mid-trace ray-coherence sort key: (direction octant, 8-bit-per-axis
-    position Morton) — i32[R], dead rays at +max so they cluster into
-    whole tiles the compaction flags / voided t-limits then skip.  Key
-    construction is decision-free (pure relabelling): the per-ray kernel
-    results are independent of tile grouping."""
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    lvc = live[:, None]
-    lo = jnp.min(jnp.where(lvc, o, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(lvc, o, -jnp.inf), axis=0)
-    span = jnp.where(hi > lo, hi - lo, 1.0)
-    q = jnp.clip((o - lo) / span * 256.0, 0.0, 255.0).astype(jnp.int32)
-    m = jnp.zeros(o.shape[:1], jnp.int32)
-    for b in range(8):
-        for a in range(3):
-            m = m | (((q[:, a] >> b) & 1) << (3 * b + (2 - a)))
-    octant = (((d[:, 0] >= 0).astype(jnp.int32) << 2)
-              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
-              | (d[:, 2] >= 0).astype(jnp.int32))
-    key = (octant << 24) | m
-    return jnp.where(live, key, jnp.int32(2**31 - 1))
-
-
-def _permute_f32_rows(arrs, order):
-    """Apply one row permutation to f32 [R]/[R,3] arrays via a single
-    stacked [R, K] gather (fast vectorized emitter; per-column gathers
-    inside the bounce scan hit a ~22 ms scalar SMEM-index loop each,
-    trace_r4i).  Differentiable: the backward is one stacked scatter-add."""
-    cols = [a[:, None] if a.ndim == 1 else a for a in arrs]
-    widths = [c.shape[1] for c in cols]
-    g = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
-    parts = jnp.split(g, np.cumsum(widths)[:-1], axis=1)
-    return [p[:, 0] if a.ndim == 1 else p for a, p in zip(arrs, parts)]
-
-
 def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
-                cfg: TracerConfig, resort: bool = False):
+                cfg: TracerConfig):
     """One bounce: reflect every active ray off its nearest triangle, then
     scatter a shadow ray from the hit point to every RX
     (/root/reference/src/compute_paths.c:591-745).
 
-    With ``resort`` the post-shading ray state is permuted into
-    (direction-octant, hit-position-Morton) order before the shadow query
-    — the permuted order rides the carry (plus a ``slot`` row mapping to
-    original path slots), so bounce b+1's nearest-hit query inherits
-    bounce b's spatial sort and the per-bounce outputs are scattered back
-    to original slots on emission.  Bit-identical results; the walk
-    prepass sees direction-coherent, spatially-tight ray tiles at every
-    bounce instead of only the first (see TracerConfig.resort)."""
-    if resort:
-        (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
-         pidx, slot) = carry
-    else:
-        (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
-         pidx) = carry
+    (The r4 mid-trace resort variant was deleted in r5: measured negative
+    on config-5 — probe_r4i/l, ~490 ms/step of in-scan permutation for no
+    kernel-time drop — and its bit-identity contract was unenforceable
+    across graph changes, since XLA's fma contraction choices are
+    graph-dependent.)"""
+    (o, d, ate_re, ate_im, atm_re, atm_im, tau, act, freq, pat,
+     pidx) = carry
     nrx = rx_pos.shape[0]
     # transmission spawning: bit 0 of the per-ray pattern selects "pass
     # straight through with the ITU transmission coefficients" for THIS
@@ -600,31 +556,7 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     n = hit["normal"]
     vel = hit["velocity"]
 
-    inv_perm = None
     s_row, s1_row = mat_rows.s, mat_rows.s1_alpha
-    if resort:
-        R = o.shape[0]
-        order = jnp.argsort(_resort_key(o, d, live))
-        # ONE stacked [R, K] row gather per dtype: per-column 1M gathers
-        # inside the bounce scan lower to a kCustom fusion with the index
-        # vector in SMEM — a ~22 ms scalar loop EACH (trace_r4i); the row
-        # gather moves the whole per-ray state in single-digit ms.
-        # Only the shading state consumed after this point rides along
-        # (the 10 eta leaves used by the Fresnel chain are already spent).
-        (o, d, n, vel, ate_re, ate_im, atm_re, atm_im, tau, freq, theta,
-         cos_t1, ndot, s_row, s1_row) = _permute_f32_rows(
-            [o, d, n, vel, ate_re, ate_im, atm_re, atm_im, tau, freq,
-             theta, cos_t1, ndot, s_row, s1_row], order)
-        ints = [idx, pat, slot, live.astype(jnp.int32)]
-        if transmit is not None:
-            ints.append(transmit.astype(jnp.int32))
-        ints = list(jnp.take(jnp.stack(ints, axis=1), order, axis=0).T)
-        idx, pat, slot = ints[0], ints[1], ints[2]
-        live = ints[3] != 0
-        if transmit is not None:
-            transmit = ints[4] != 0
-        inv_perm = jnp.zeros((R,), jnp.int32).at[slot].set(
-            jnp.arange(R, dtype=jnp.int32))
 
     # --- scatter-to-RX shadow rays, all RX batched into one query ---
     so = jnp.broadcast_to(o[None], (nrx,) + o.shape)          # [NRx, R, 3]
@@ -779,26 +711,6 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
     ys = (out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau, out_freq,
           out_dir_rx) + ((o, d, live) if cfg.keep_rays
                          else (None, None, None))
-    if resort:
-        # emit per-bounce outputs in ORIGINAL path-slot order (the carry
-        # stays sorted; `slot` maps current -> original, inv_perm inverts)
-        # — again as ONE stacked row gather (see the forward sort above)
-        carry = carry + (slot,)
-        nrx_ = out_te_re.shape[0]
-        perrx = [out_te_re, out_te_im, out_tm_re, out_tm_im, out_tau,
-                 out_freq]
-        cols = ([jnp.moveaxis(y, 0, 1) for y in perrx]            # [R, NRx]
-                + [jnp.moveaxis(out_dir_rx, 1, 0).reshape(-1, nrx_ * 3)])
-        if cfg.keep_rays:
-            cols += [o, d, live.astype(jnp.float32)[:, None]]
-        widths = [c.shape[1] for c in cols]
-        g = jnp.take(jnp.concatenate(cols, axis=1), inv_perm, axis=0)
-        parts = jnp.split(g, np.cumsum(widths)[:-1], axis=1)
-        perrx_u = [jnp.moveaxis(p, 1, 0) for p in parts[:6]]
-        dir_u = jnp.moveaxis(parts[6].reshape(-1, nrx_, 3), 1, 0)
-        tail = ((parts[7], parts[8], parts[9][:, 0] != 0.0)
-                if cfg.keep_rays else (None, None, None))
-        ys = tuple(perrx_u) + (dir_u,) + tail
     return carry, ys
 
 
@@ -884,37 +796,13 @@ def transmit_patterns(num_rays: int, num_bounces: int) -> jax.Array:
     return jnp.arange(num_rays, dtype=jnp.int32) % jnp.int32(2 ** num_bounces)
 
 
-def _resort_active(cfg: TracerConfig, t_padded: int) -> bool:
-    """Resolve TracerConfig.resort.  "auto" is OFF: on the 131k-triangle
-    config5 city the sort never paid — the walk kernel's near-to-far
-    early-out already absorbs bounce>=2 incoherence (kernel time did NOT
-    drop under sorted rays) while the permutation's in-scan data movement
-    cost ~490 ms/step even as stacked row gathers (probe_r4i/r4l,
-    benchmarks/README.md round-4 negative results).  The knob stays for
-    topologies where visit lists, not early-outs, dominate.  Only consulted
-    on the jnp/xla-shade step: when the fused megakernel step is ACTUALLY
-    taken it manages its own carry layout (scatter_scan receives the fused
-    step and never calls this), but a fused config that falls back to the
-    jnp path — e.g. a >2048-triangle walk scene, exactly where resort=True
-    aims — honors the knob normally."""
-    del t_padded
-    return cfg.resort is True
-
-
 def scatter_scan(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig,
                  step=None):
     """Run the bounce loop; returns the stacked per-bounce outputs."""
     custom_saves = step is not None   # fused steps save their own residuals
     if step is None:
-        tris_ = getattr(access, "tris", None)
-        if tris_ is None:
-            tris_ = access.local.tris
-        resort_on = _resort_active(cfg, tris_.v0.shape[0])
         step = partial(bounce_step, access=access, rx_pos=rx_pos,
-                       fslm=fslm, k_dop=k_dop, cfg=cfg, resort=resort_on)
-        if resort_on:
-            R = carry0[0].shape[0]
-            carry0 = tuple(carry0) + (jnp.arange(R, dtype=jnp.int32),)
+                       fslm=fslm, k_dop=k_dop, cfg=cfg)
     B = cfg.num_bounces
     if cfg.remat == "hits" and not custom_saves:
         # save ONLY the named residuals (kernel hit decisions + fetched
@@ -1056,7 +944,8 @@ def run_bounce_loop(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
              and not cfg.spawn_transmission
              and isinstance(access, LocalSceneAccess)
              and access._table is not None
-             and tris_.v0.shape[0] <= 2048)
+             and tris_.v0.shape[0] <= 2048
+             and nrx <= 8)
     if cfg.shade == "fused" and not fused:
         import warnings
         reasons = []
@@ -1068,6 +957,12 @@ def run_bounce_loop(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
             reasons.append("no fused payload table")
         if tris_.v0.shape[0] > 2048:
             reasons.append(f"{tris_.v0.shape[0]} padded triangles > 2048")
+        if nrx > 8:
+            # measured: the per-RX row stacks scale the kernels' VMEM and
+            # VPU cost with nrx; fused loses to xla from nrx=4 up and the
+            # nrx=16 post kernel fails Mosaic compile even at block=1024
+            # (probe_r4m, probe_r5b) — fail soft instead of opaque.
+            reasons.append(f"nrx={nrx} > 8")
         warnings.warn(
             "shade='fused' falling back to the jnp bounce path: "
             + "; ".join(reasons), stacklevel=2)

@@ -72,11 +72,12 @@ def test_walk_under_tri_sharding(mesh_shape):
             np.asarray(getattr(got.scatter, field)), err_msg=field)
 
 
-def test_resort_bit_identical():
-    """resort=True (mid-trace coherence sort, opt-in after the r4l
-    negative result) must reproduce the unsorted trace bit-for-bit: the
-    permutation is pure relabelling inside the scan and outputs scatter
-    back to original path slots."""
+def test_walk_prepass_pallas_matches_xla():
+    """The r5 Pallas slab-test prepass (walk_prepass="ray") must reproduce
+    the retired XLA sweep ("ray_xla") bit-for-bit: identical reach/key
+    arithmetic means identical visit lists and hence identical hits.
+    (Replaces the r4 resort bit-identity test — the resort knob was
+    deleted in r5 as measured-negative with an unenforceable contract.)"""
     tris = flatten_scene(random_soup_scene(300, seed=5, extent=12.0),
                          sort_triangles=True)
     kw = dict(num_paths=256, num_bounces=3, backend="pallas",
@@ -84,9 +85,9 @@ def test_resort_bit_identical():
               block_tris=64, precision="highest")
     mats = default_materials()
     ref = trace_paths(tris, mats, RX, TX, Z, Z, 3.0,
-                      TracerConfig(**kw, resort=False))
+                      TracerConfig(**kw, walk_prepass="ray_xla"))
     got = trace_paths(tris, mats, RX, TX, Z, Z, 3.0,
-                      TracerConfig(**kw, resort=True))
+                      TracerConfig(**kw, walk_prepass="ray"))
     for field in ("a_te", "a_tm", "tau", "directions_rx"):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref.scatter, field)),
