@@ -64,7 +64,8 @@ from .intersect import FLT_EPS
 from .scattering import scat_coefs
 from .shade import ETA_FIELDS, _cross3r, _dot3r
 
-__all__ = ["FusedSpec", "bounce_pre", "bounce_post", "od_rows_from_vectors"]
+__all__ = ["FusedSpec", "bounce_pre", "bounce_post", "od_rows_from_vectors",
+           "fused_loop_slim"]
 
 SPEED_OF_LIGHT = np.float32(299792458.0)
 _CLIP = np.float32(1.0) - np.float32(FLT_EPS)
@@ -107,6 +108,9 @@ class FusedSpec:
 def _round_up(x, m):
     return -(-x // m) * m
 
+
+# Whole-loop slim backward ray-tile size (see _fused_loop_bwd_slim).
+_LOOP_BWD_BLOCK = 2048
 
 # PROBE-ONLY ablation switch (benchmarks/probe_r5d.py): entries in this set
 # cut pieces out of the slim backward kernels to attribute their device
@@ -1096,3 +1100,195 @@ def _bounce_post_bwd(spec, res, cots):
 
 
 bounce_post.defvjp(_bounce_post_fwd, _bounce_post_bwd)
+
+
+# ---------------------------------------------------------------------------
+# whole-loop slim backward: ONE Pallas kernel for the entire bounce loop
+#
+# probe_r5d attribution of the per-stage slim backwards (6 kernel launches
+# per 3-bounce trace, 8.1 ms device): vjp chains ~4.8 ms, scatter-add
+# contraction ~4.7 ms, base oht/fetch/IO ~2.6 ms — with strong overlap
+# between the buckets, pointing at the serialized "arbitrary" accumulator
+# grids and the per-launch d_st/d_st2 HBM round trips rather than raw
+# FLOPs.  The whole-loop form removes all of it structurally: the grid is
+# parallel over ray tiles, the bounce loop runs INSIDE the kernel (B is
+# static and small), the d_st cotangent carry lives in registers between
+# bounces, ONE one-hot per (tile, bounce) feeds both the eta fetch and the
+# scatter contraction for both the pre and post chains (s/s1_alpha are eta
+# columns 10/11), and the table cotangent accumulates across bounces
+# in-register with a single per-tile write (stepped layout, XLA-summed —
+# the measured-neutral probe_r5d "stepped_acc" form that keeps the grid
+# parallel).
+
+def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, excl_ref,
+                          respre_ref, respost_ref, dout_ref,
+                          dst0_ref, dtab_ref, *, spec: FusedSpec, t: int,
+                          nb: int):
+    limbs_e = limbse_ref[...]
+    block = dst0_ref.shape[-1]
+    d_carry = jnp.zeros((6, block), jnp.float32)
+    acc = jnp.zeros((t, limbs_e.shape[0]), jnp.float32)
+    for b in range(nb - 1, -1, -1):
+        live = live_ref[b, :, :] != 0                         # [1, block]
+        excl = excl_ref[b, :, :]
+        safe = jnp.maximum(excl, 0)
+        oht = _oht_bf16(safe, t)
+        eta_rows = _fetch_rows_oht(limbs_e, oht)              # [12, block]
+        st_b = st_ref[b, :, :]
+        st2_b = st_ref[b + 1, :, :]
+        # post chain at the saved angle residuals (wf folds the decisions)
+        f_post = functools.partial(_post_light, res=respost_ref[b, :, :],
+                                   spec=spec)
+        _, vjp_post = jax.vjp(f_post, eta_rows[10:12], st2_b)
+        d_ss, d_st2 = vjp_post(dout_ref[b, :, :])
+        d_st2 = d_st2 + d_carry          # + next bounce's pre-chain carry
+        # pre chain at the saved incidence residuals
+        res_pre = respre_ref[b, :, :]
+        f_pre = functools.partial(_pre_light, live=live,
+                                  cos_t1=res_pre[0:1], sin_t1=res_pre[1:2],
+                                  fscale=res_pre[2:3])
+        _, vjp_pre = jax.vjp(f_pre, eta_rows, st_b)
+        d_eta, d_carry = vjp_pre(d_st2)
+        # fold the post chain's (s, s1_alpha) cotangent into eta rows 10/11
+        # — the shared one-hot makes both scatters one contraction (the
+        # contributions are zero wherever pre/post indices could differ:
+        # both chains mask by the same liveness/write decisions)
+        d_eta = jnp.concatenate([d_eta[0:10], d_eta[10:12] + d_ss], axis=0)
+        acc = acc + _scatter_add_oht(oht, d_eta)
+    dst0_ref[...] = d_carry
+    dtab_ref[...] = acc[None]
+
+
+def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, table, st_all, live_all,
+                         excl_all, res_pre_all, res_post_all, d_outs):
+    """Plumbing for :func:`_loop_bwd_slim_kernel`.
+
+    ``st_all`` [nb+1, 6, R] (st_0..st_B), ``live_all``/``excl_all``
+    [nb, 1, R] i32, ``res_pre_all`` [nb, 3, R], ``res_post_all``/``d_outs``
+    [nb, 6*nrx, R].  Returns (d_st0 [6, R], d_tab [T, 27])."""
+    t, c = table.shape
+    R = st_all.shape[-1]
+    # the backward tile is independent of the forward's: the nb unrolled
+    # vjp chains' intermediates all live on the scoped-vmem stack at once
+    # (Mosaic does not reuse buffers across the in-kernel bounce loop), and
+    # block=4096 measured 26.6M > the 16M scoped limit at nb=3 (probe_r5f)
+    block = min(spec.block, _LOOP_BWD_BLOCK)
+    r_pad = _round_up(max(R, block), block)
+    n_steps = r_pad // block
+    ce = len(ETA_FIELDS)
+    limbs_e = _limb_table(table[:, _GEOM:])                   # [3*12, T]
+    snrx = 6 * spec.nrx
+
+    def pad3(x, value=0):
+        r = x.shape[-1]
+        if r_pad > r:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, r_pad - r)),
+                        constant_values=value)
+        return x
+
+    def whole3(shape):
+        return pl.BlockSpec(shape[:-1] + (block,),
+                            lambda i: (0,) * (len(shape) - 1) + (i,),
+                            memory_space=pltpu.VMEM)
+
+    shapes = [
+        jax.ShapeDtypeStruct((6, r_pad), jnp.float32),         # d_st0
+        jax.ShapeDtypeStruct((n_steps, t, 3 * ce), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_loop_bwd_slim_kernel, spec=spec, t=t, nb=nb),
+        grid=(n_steps,),
+        in_specs=[_whole(),
+                  whole3((nb + 1, 6, r_pad)),
+                  whole3((nb, 1, r_pad)),
+                  whole3((nb, 1, r_pad)),
+                  whole3((nb, 3, r_pad)),
+                  whole3((nb, snrx, r_pad)),
+                  whole3((nb, snrx, r_pad))],
+        out_specs=[_row(6, block),
+                   pl.BlockSpec((1, t, 3 * ce), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=spec.interpret,
+    )(limbs_e, pad3(st_all), pad3(live_all), pad3(excl_all, value=-1),
+      pad3(res_pre_all), pad3(res_post_all), pad3(d_outs))
+    d_st0, d_tab3 = outs
+    d_tab = jnp.pad(_sum_limb_groups(jnp.sum(d_tab3, axis=0)),
+                    ((0, 0), (_GEOM, 0)))
+    return d_st0[:, :R], d_tab
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_loop_slim(spec: FusedSpec, nb: int, bq, sq, keep_rays: bool,
+                    od0, st0, act0, pidx0, table, rx_pos, fslm, k_dop,
+                    bq_consts, sq_consts):
+    """The whole fused bounce loop as ONE custom_vjp (slim backward only:
+    requires ``spec.grad_positions=False``).
+
+    ``bq``/``sq`` are closure-converted pure query functions (bounce
+    nearest-hit and batched shadow nearest-hit) with their captured arrays
+    in ``bq_consts``/``sq_consts`` — both queries are non-differentiable,
+    so the backward ignores them and runs :func:`_loop_bwd_slim_kernel`
+    once over the saved per-bounce residuals.
+
+    Returns ``(outs [nb, 6*nrx, R], writes i32[nb, nrx, R],
+    sh [nb, nrx*8, R], live i32[nb, R], od2s)`` with ``od2s``
+    ``[nb, 8, R]`` when ``keep_rays`` else ``None``.
+    """
+    if spec.grad_positions:
+        raise ValueError("fused_loop_slim requires grad_positions=False")
+    out, _ = _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0,
+                                  act0, pidx0, table, rx_pos, fslm, k_dop,
+                                  bq_consts, sq_consts)
+    return out
+
+
+def _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0, act0, pidx0,
+                         table, rx_pos, fslm, k_dop, bq_consts, sq_consts):
+    od, st, act, pidx = od0, st0, act0, pidx0
+    outs, writes, shs, lives, od2s = [], [], [], [], []
+    sts, excls, res_pres, res_posts = [st0], [], [], []
+    for _b in range(nb):
+        idx = jax.lax.stop_gradient(bq(od, pidx, act, *bq_consts))
+        pre_out, pre_res = _bounce_pre_fwd(spec, od, st, act, idx, table,
+                                           rx_pos, fslm, k_dop)
+        (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live_i) = pre_out
+        t_o, idx_o = sq(sh, d2rx, excl[0], live_i[0], *sq_consts)
+        post_out, post_res = _bounce_post_fwd(
+            spec, od2, st2, ex, sh, d2rx, t_self, crossing, excl, live_i,
+            t_o, idx_o, table, fslm, k_dop)
+        out, write = post_out
+        outs.append(out)
+        writes.append(write)
+        shs.append(sh)
+        lives.append(live_i)
+        excls.append(excl)
+        res_pres.append(pre_res[-1])
+        res_posts.append(post_res[-1])
+        sts.append(st2)
+        if keep_rays:
+            od2s.append(od2)
+        od, st, act, pidx = od2, st2, live_i[0] != 0, excl[0]
+    stk = lambda xs: jnp.stack(xs, axis=0)
+    primal = (stk(outs), stk(writes), stk(shs),
+              jnp.concatenate(lives, axis=0),
+              stk(od2s) if keep_rays else None)
+    resid = (table, stk(sts), stk(lives), stk(excls), stk(res_pres),
+             stk(res_posts), bq_consts, sq_consts)
+    return primal, resid
+
+
+def _fused_loop_slim_bwd(spec, nb, bq, sq, keep_rays, resid, cots):
+    (table, st_all, live_all, excl_all, res_pre_all, res_post_all,
+     bq_consts, sq_consts) = resid
+    d_outs = cots[0]                                    # [nb, 6*nrx, R]
+    d_st0, d_tab = _fused_loop_bwd_slim(
+        spec, nb, table, st_all, live_all, excl_all, res_pre_all,
+        res_post_all, d_outs)
+    return (None, d_st0, None, None, d_tab, None, None, None,
+            tuple(None for _ in bq_consts), tuple(None for _ in sq_consts))
+
+
+fused_loop_slim.defvjp(_fused_loop_slim_fwd, _fused_loop_slim_bwd)

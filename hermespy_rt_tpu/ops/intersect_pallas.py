@@ -697,9 +697,12 @@ def _prepass_kernel(abt_ref, odt_ref, limt_ref, reach_ref, key_ref):
     reach_r = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= lim)
                & (lim >= 0.0))
     key_r = jnp.where(reach_r, jnp.maximum(t_near, 0.0), jnp.inf)
+    # outputs are [1, 1, Cc] blocks of [nRows, 1, Cpad] 3D arrays: dim 0 is
+    # one row per grid step and must stay untiled (a (1, Cc) 2D block fails
+    # the 8-sublane rule on real TPU; interpret mode does not enforce it)
     reach_ref[...] = jnp.any(reach_r, axis=0, keepdims=True
-                             ).astype(jnp.int32)
-    key_ref[...] = jnp.min(key_r, axis=0, keepdims=True)
+                             ).astype(jnp.int32)[None]
+    key_ref[...] = jnp.min(key_r, axis=0, keepdims=True)[None]
 
 
 def _prepass_reach_key_pallas(od, lim, ab_use, block_rays: int,
@@ -730,17 +733,19 @@ def _prepass_reach_key_pallas(od, lim, ab_use, block_rays: int,
             pl.BlockSpec((brp, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, cc), lambda i, j: (i, j),
+        out_specs=[pl.BlockSpec((1, 1, cc), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, cc), lambda i, j: (i, j),
+                   pl.BlockSpec((1, 1, cc), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad // brp, c_pad), jnp.int32),
-            jax.ShapeDtypeStruct((r_pad // brp, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad // brp, 1, c_pad), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad // brp, 1, c_pad), jnp.float32),
         ],
         compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(abt, odt, limt)
+    reach = reach[:, 0, :]
+    key = key[:, 0, :]
     k = block_rays // brp
     if k > 1:
         n_rt = r_pad // block_rays

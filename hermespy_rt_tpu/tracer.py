@@ -149,6 +149,7 @@ class LocalSceneAccess:
         self._fetch_bwd = cfg.fetch_bwd
         self._grad_geometry = cfg.grad_geometry
         self._table = None
+        self._eta_tab = None
         if eta is not None:
             mat = tris.material
             eta_cols = jnp.stack([getattr(eta, f)[mat] for f in _ETA_FIELDS],
@@ -156,6 +157,8 @@ class LocalSceneAccess:
             self._table = jnp.concatenate(
                 [tris.v0, tris.e1, tris.e2, tris.normal, tris.velocity,
                  eta_cols], axis=-1)                            # [T, 27]
+            self._eta_tab = jnp.stack(
+                [getattr(eta, f) for f in _ETA_FIELDS], axis=-1)  # [M, 12]
 
     def intersect(self, o, d, t_max=None, exclude=None, live=None):
         """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
@@ -230,6 +233,30 @@ class LocalSceneAccess:
                        normal=geo[9:12].T, velocity=geo[12:15].T)
             out["eta"] = EtaPrecomputed(**{
                 f: rowt[_GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
+            return out
+        if self._gather == "take" and self._eta_tab is not None:
+            # Big-table fetch (the >4096-tri "take" regime, e.g. BASELINE
+            # config 5): geometry columns stay a plain XLA gather — with
+            # grad_geometry=False they are stop-gradded, so NO backward
+            # scatter into the [T, 27] table exists at all — and the eta
+            # columns are fetched INDIRECTLY through the per-material table
+            # (eta[mat][tri_idx] == eta[mat[tri_idx]] bit-exactly).  The
+            # differentiable part of the fetch thus contracts over the
+            # ~17 material rows on the MXU, and its backward is an exact
+            # one-hot scatter-add into [M, 12] instead of an XLA scatter
+            # into the triangle table — the measured big-scene backward tax
+            # (probe_r5g: the [131k, 27]-table scatter dominated the take
+            # fetch's fwd+bwd wall).
+            geo_rows = self._table[:, :_GEOM_COLS][idx_safe]
+            geo = (geo_rows if self._grad_geometry
+                   else jax.lax.stop_gradient(geo_rows))
+            mat_idx = jax.lax.stop_gradient(self.tris.material[idx_safe])
+            from .ops.fetch import onehot_fetch
+            eta_rows = onehot_fetch(mat_idx, self._eta_tab, self._fetch_bwd)
+            out = dict(v0=geo[..., 0:3], e1=geo[..., 3:6], e2=geo[..., 6:9],
+                       normal=geo[..., 9:12], velocity=geo[..., 12:15])
+            out["eta"] = EtaPrecomputed(**{
+                f: eta_rows[..., i] for i, f in enumerate(_ETA_FIELDS)})
             return out
         return self.split_rows(self._rows(idx_safe))
 
@@ -756,6 +783,59 @@ def bounce_step_fused(carry, _, *, access, rx_pos, fslm, k_dop,
     return carry2, ys
 
 
+def run_fused_loop_slim(access, rx_pos, carry0, fslm, k_dop,
+                        cfg: TracerConfig, spec, table):
+    """Run the fused bounce loop through
+    :func:`...ops.bounce_fused.fused_loop_slim` (one whole-loop custom_vjp
+    with a single-kernel slim backward) and reshape its outputs into the
+    :func:`scatter_scan` ys layout.  The two intersect queries are
+    closure-converted to pure functions so their captured scene arrays pass
+    through the custom_vjp explicitly (they are non-differentiable — hit
+    decisions cut gradients by design, see LocalSceneAccess.intersect)."""
+    from .ops.bounce_fused import fused_loop_slim
+    od0, st0, act0, pidx0 = carry0
+    nrx = rx_pos.shape[0]
+    R = od0.shape[-1]
+    B = cfg.num_bounces
+
+    def bounce_q(od, pidx, act):
+        live_hint = act if cfg.compact_rays else None
+        _, idx = access.intersect_od(od, exclude=pidx, live=live_hint)
+        return idx
+
+    def shadow_q(sh, d2rx, excl_row, live_row):
+        live = live_row != 0
+        lims = (None if cfg.parity == "reference"
+                else d2rx - 2.0 * jnp.float32(cfg.occlusion_offset))
+        return _shadow_intersect_od(access, sh, lims, excl_row, live, cfg,
+                                    nrx, R)
+
+    f32 = jnp.float32
+    bq, bq_consts = jax.closure_convert(bounce_q, od0, pidx0, act0)
+    sq, sq_consts = jax.closure_convert(
+        shadow_q,
+        jax.ShapeDtypeStruct((nrx * 8, R), f32),
+        jax.ShapeDtypeStruct((nrx, R), f32),
+        jax.ShapeDtypeStruct((R,), jnp.int32),
+        jax.ShapeDtypeStruct((R,), jnp.int32))
+    outs_all, writes, shs, lives, od2s = fused_loop_slim(
+        spec, B, bq, sq, cfg.keep_rays, od0, st0, act0, pidx0, table,
+        rx_pos, fslm, k_dop, tuple(bq_consts), tuple(sq_consts))
+    out4 = outs_all.reshape(B, nrx, 6, R)
+    te_re, te_im, tm_re, tm_im = (out4[:, :, 0], out4[:, :, 1],
+                                  out4[:, :, 2], out4[:, :, 3])
+    tau_o, freq_o = out4[:, :, 4], out4[:, :, 5]
+    ds_t = shs.reshape(B, nrx, 8, R)[:, :, 0:3].transpose(0, 1, 3, 2)
+    dir_rx = jnp.where((writes != 0)[..., None], -ds_t, 0.0)
+    ys = (te_re, te_im, tm_re, tm_im, tau_o, freq_o, dir_rx)
+    if cfg.keep_rays:
+        ys += (od2s[:, 3:6].transpose(0, 2, 1),
+               od2s[:, 0:3].transpose(0, 2, 1), lives != 0)
+    else:
+        ys += (None, None, None)
+    return ys
+
+
 def launch_state(tx_pos, tx_vel, launch_dirs, k_dop, active0=None,
                  transmit_pattern=None):
     """Initial per-ray state over the flattened tx-major ray axis
@@ -979,6 +1059,14 @@ def run_bounce_loop(access, rx_pos, carry0, fslm, k_dop, cfg: TracerConfig):
          pat0, pidx0) = carry0
         od0 = od_rows_from_vectors(o0_, d0_)
         st0 = jnp.stack([ate_re0, ate_im0, atm_re0, atm_im0, tau0, freq0])
+        if not spec.grad_positions and cfg.unroll_bounces:
+            # slim path: the whole loop as ONE custom_vjp whose backward is
+            # a single parallel-grid Pallas kernel (probe_r5f; the per-stage
+            # slim backwards measured 8.1 ms across 6 serialized-accumulator
+            # launches, see ops/bounce_fused.py)
+            return run_fused_loop_slim(access, rx_pos,
+                                       (od0, st0, act0, pidx0), fslm,
+                                       k_dop, cfg, spec, access._table)
         carry_f = (od0, st0, act0, pat0, pidx0)
         step = partial(bounce_step_fused, access=access, rx_pos=rx_pos,
                        fslm=fslm, k_dop=k_dop, cfg=cfg, spec=spec,

@@ -44,6 +44,53 @@ def test_large_scene_trace_uses_take_gather():
     assert (np.abs(a) > 0).sum() > 0
 
 
+def test_take_gather_matches_onehot_with_grads():
+    """The big-table 'take' fetch (r5: geometry gather + material-indirect
+    eta through the per-material table) must be value-identical to the
+    'onehot' fetch — eta[mat][idx] == eta[mat[idx]] bit-exactly — and its
+    material gradients must match (same chain, the backward contracts over
+    material rows instead of scattering into the triangle table)."""
+    import functools
+    import jax
+    from hermespy_rt_tpu.config import TracerConfig
+    from hermespy_rt_tpu.materials import default_materials
+    from hermespy_rt_tpu.scene import load_hrt
+    from hermespy_rt_tpu.tracer import trace_paths
+
+    tris = flatten_scene(
+        load_hrt("/root/reference/scenes/simple_street_canyon_with_cars.hrt"))
+    mats = default_materials()
+    rx = jnp.asarray([[10.0, 5.0, 2.0]], jnp.float32)
+    tx = jnp.asarray([[-20.0, -10.0, 10.0]], jnp.float32)
+    z1 = jnp.zeros((1, 3), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("gather",))
+    def run(m, gather):
+        cfg = TracerConfig(num_paths=512, num_bounces=2, backend="jnp",
+                           keep_rays=False, gather=gather,
+                           grad_geometry=False)
+
+        def loss(m):
+            r = trace_paths(tris, m, rx, tx, z1, z1, jnp.float32(3.0), cfg)
+            return (jnp.sum(jnp.abs(r.scatter.a_te) ** 2)
+                    + jnp.sum(jnp.abs(r.scatter.a_tm) ** 2)) * 1e9
+        v, g = jax.value_and_grad(loss)(m)
+        return v, g
+
+    v_t, g_t = run(mats, gather="take")
+    v_o, g_o = run(mats, gather="onehot")
+    np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_o))
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                    jax.tree_util.tree_leaves(g_o)):
+        a, b = np.asarray(a), np.asarray(b)
+        # identical per-ray terms, accumulation order differs (the take
+        # backward sums rays into 17 material rows directly; onehot sums
+        # into triangle rows then segments by material)
+        tol = 1e-5 * max(np.abs(a).max(), 1e-30) + 1e-18
+        assert np.abs(a - b).max() <= tol
+
+
 def test_morton_sort_preserves_results():
     scene = random_soup_scene(500, seed=9, extent=40.0)
     plain = flatten_scene(scene, pad_to=128)
