@@ -50,6 +50,15 @@ class TracerConfig:
     scan_remat: str = "save_all"
     keep_rays: bool = True
     occlusion_offset: float = 1e-4
+    # any-hit shadow queries (physical parity only, and never under
+    # `transmission`): physical mode consumes only `blocked` from a shadow
+    # query, so the walk kernel may stop each shadow ray at its FIRST
+    # in-range hit instead of walking to the nearest — trace outputs are
+    # bit-identical (tests/test_config5.py::
+    # test_any_hit_shadow_walk_trace_invariant).  Reference parity always
+    # needs the nearest blocker (θ-clobber reads its normal).  Off = force
+    # nearest-hit shadow queries everywhere (A/B control; probe_r5i).
+    shadow_any_hit: bool = True
     # hit-payload fetch strategy: "onehot" = one-hot matmul against the fused
     # per-triangle table (MXU, exact — the one-hot materialises in HBM),
     # "onehot_pallas" = same contraction inside a Pallas kernel with the

@@ -1132,29 +1132,40 @@ def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, excl_ref,
         live = live_ref[b, :, :] != 0                         # [1, block]
         excl = excl_ref[b, :, :]
         safe = jnp.maximum(excl, 0)
-        oht = _oht_bf16(safe, t)
-        eta_rows = _fetch_rows_oht(limbs_e, oht)              # [12, block]
+        if "nofetch" in _ABLATE:          # probe-only; implies noscatter
+            oht = None
+            eta_rows = jnp.full((len(ETA_FIELDS), block), 0.5, jnp.float32)
+        else:
+            oht = _oht_bf16(safe, t)
+            eta_rows = _fetch_rows_oht(limbs_e, oht)          # [12, block]
         st_b = st_ref[b, :, :]
         st2_b = st_ref[b + 1, :, :]
         # post chain at the saved angle residuals (wf folds the decisions)
-        f_post = functools.partial(_post_light, res=respost_ref[b, :, :],
-                                   spec=spec)
-        _, vjp_post = jax.vjp(f_post, eta_rows[10:12], st2_b)
-        d_ss, d_st2 = vjp_post(dout_ref[b, :, :])
-        d_st2 = d_st2 + d_carry          # + next bounce's pre-chain carry
-        # pre chain at the saved incidence residuals
-        res_pre = respre_ref[b, :, :]
-        f_pre = functools.partial(_pre_light, live=live,
-                                  cos_t1=res_pre[0:1], sin_t1=res_pre[1:2],
-                                  fscale=res_pre[2:3])
-        _, vjp_pre = jax.vjp(f_pre, eta_rows, st_b)
-        d_eta, d_carry = vjp_pre(d_st2)
+        if "novjp" in _ABLATE:             # probe-only attribution (r5h)
+            d_ss, d_st2 = eta_rows[10:12], dout_ref[b, 0:6, :]
+            d_st2 = d_st2 + d_carry
+            d_eta, d_carry = eta_rows, d_st2
+        else:
+            f_post = functools.partial(_post_light,
+                                       res=respost_ref[b, :, :], spec=spec)
+            _, vjp_post = jax.vjp(f_post, eta_rows[10:12], st2_b)
+            d_ss, d_st2 = vjp_post(dout_ref[b, :, :])
+            d_st2 = d_st2 + d_carry      # + next bounce's pre-chain carry
+            # pre chain at the saved incidence residuals
+            res_pre = respre_ref[b, :, :]
+            f_pre = functools.partial(_pre_light, live=live,
+                                      cos_t1=res_pre[0:1],
+                                      sin_t1=res_pre[1:2],
+                                      fscale=res_pre[2:3])
+            _, vjp_pre = jax.vjp(f_pre, eta_rows, st_b)
+            d_eta, d_carry = vjp_pre(d_st2)
         # fold the post chain's (s, s1_alpha) cotangent into eta rows 10/11
         # — the shared one-hot makes both scatters one contraction (the
         # contributions are zero wherever pre/post indices could differ:
         # both chains mask by the same liveness/write decisions)
         d_eta = jnp.concatenate([d_eta[0:10], d_eta[10:12] + d_ss], axis=0)
-        acc = acc + _scatter_add_oht(oht, d_eta)
+        if "noscatter" not in _ABLATE:
+            acc = acc + _scatter_add_oht(oht, d_eta)
     dst0_ref[...] = d_carry
     dtab_ref[...] = acc[None]
 

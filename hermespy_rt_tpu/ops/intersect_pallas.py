@@ -552,7 +552,8 @@ def _expand_walk_features(od, precision):
 def _kernel_walk_res(v_hbm, aabb_ref, g_ref, od_ref,
                      ex_ref, lim_ref, t_ref, i_ref, vrow, vsem, *,
                      block_tris: int, precision, has_limit: bool,
-                     fuse4: bool = False, group: int = 1):
+                     fuse4: bool = False, group: int = 1,
+                     any_hit: bool = False):
     """VMEM-resident visit-list walk for small scenes (grid = (nRT,)).
 
     Same semantics as :func:`_kernel_walk` but the whole (pre-expanded) G
@@ -585,6 +586,13 @@ def _kernel_walk_res(v_hbm, aabb_ref, g_ref, od_ref,
         t_far = jnp.min(jnp.maximum(lo, hi), axis=0, keepdims=True)
         if has_limit:
             limit = jnp.minimum(t_ref[...], t_lim)
+            if any_hit:
+                # occlusion-only queries: a recorded hit already satisfies
+                # t <= t_lim (_mask_from_terms), so the ray is DONE — void
+                # its limit so no later tile reaches it (and fully-done
+                # tiles skip their evaluation entirely)
+                limit = jnp.where(t_ref[...] < _BIG, jnp.float32(-1.0),
+                                  limit)
         else:
             limit = t_ref[...]
         reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
@@ -603,7 +611,8 @@ def _kernel_walk_res(v_hbm, aabb_ref, g_ref, od_ref,
 def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
                  ex_ref, lim_ref, t_ref, i_ref, g_buf, sem, vrow, vsem, *,
                  block_tris: int, precision, has_limit: bool,
-                 fuse4: bool = False, group: int = 1):
+                 fuse4: bool = False, group: int = 1,
+                 any_hit: bool = False):
     """Visit-list walk, one grid step per RAY tile (grid = (nRT,)).
 
     The visit row (col 0 count, cols 1.. coarse-group ids nearest-first)
@@ -658,6 +667,14 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
         t_far = jnp.min(jnp.maximum(lo, hi), axis=0, keepdims=True)
         if has_limit:
             limit = jnp.minimum(t_ref[...], t_lim)
+            if any_hit:
+                # occlusion-only: recorded hits already satisfy t <= t_lim,
+                # so void done rays' limits (see _kernel_walk_res); the
+                # prefetched G DMAs keep streaming but their evaluations —
+                # the expensive part — are skipped once a tile's rays are
+                # all resolved
+                limit = jnp.where(t_ref[...] < _BIG, jnp.float32(-1.0),
+                                  limit)
         else:
             limit = t_ref[...]
         reach = ((t_far >= 0.0) & (t_near <= t_far) & (t_near <= limit)
@@ -941,12 +958,14 @@ def _tile_aabbs(tris: TriangleSoA, t_pad: int, block_tris: int,
                                     "precision", "cull", "has_t_max",
                                     "has_live", "walk", "pre_expand",
                                     "fuse4", "walk_group", "has_od",
-                                    "walk_prepass", "interleave"))
+                                    "walk_prepass", "interleave",
+                                    "any_hit"))
 def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
                            block_rays, block_tris, interpret, precision,
                            cull, has_t_max, has_live=False, walk=False,
                            pre_expand=False, fuse4=False, walk_group=0,
-                           has_od=False, walk_prepass="ray", interleave=2):
+                           has_od=False, walk_prepass="ray", interleave=2,
+                           any_hit=False):
     R = od_arg.shape[-1] if has_od else o.shape[0]
     t_total = tris.v0.shape[0]
     block_tris = min(block_tris, _round_up(t_total, 128))
@@ -1083,7 +1102,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
             kern = functools.partial(_kernel_walk_res, block_tris=block_tris,
                                      precision=precision,
                                      has_limit=has_t_max or has_live,
-                                     fuse4=fuse4, group=group)
+                                     fuse4=fuse4, group=group,
+                                     any_hit=any_hit and has_t_max)
             t_out, i_out = pl.pallas_call(
                 kern,
                 grid=(r_pad // block_rays,),
@@ -1099,7 +1119,8 @@ def _pallas_intersect_impl(o, d, tris, t_max, exclude, live, od_arg,
             kern = functools.partial(_kernel_walk, block_tris=block_tris,
                                      precision=precision,
                                      has_limit=has_t_max or has_live,
-                                     fuse4=fuse4, group=group)
+                                     fuse4=fuse4, group=group,
+                                     any_hit=any_hit and has_t_max)
             t_out, i_out = pl.pallas_call(
                 kern,
                 grid=(r_pad // block_rays,),
@@ -1192,7 +1213,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
                      fuse4: bool = False,
                      od=None,
                      walk_prepass: str = "ray",
-                     interleave: int = 2) -> Tuple[jax.Array, jax.Array]:
+                     interleave: int = 2,
+                     any_hit: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Nearest hit of rays (o, d) f32[R,3] against the scene; returns
     (t f32[R] (+inf miss), idx i32[R] (-1 miss)) with the same semantics as
     :func:`hermespy_rt_tpu.ops.intersect.intersect_jnp`.
@@ -1224,7 +1246,8 @@ def pallas_intersect(o: jax.Array, d: jax.Array, tris: TriangleSoA,
         block_rays, block_tris, interpret, precision, bool(cull),
         t_max is not None, has_live=live is not None, walk=walk,
         pre_expand=pre_expand, fuse4=fuse4, walk_group=walk_group,
-        has_od=has_od, walk_prepass=walk_prepass, interleave=interleave)
+        has_od=has_od, walk_prepass=walk_prepass, interleave=interleave,
+        any_hit=any_hit)
 
 
 def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
@@ -1242,12 +1265,13 @@ def make_pallas_intersect(tris: TriangleSoA, block_rays: int = 1024,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def intersect_fn(o, d, t_max=None, exclude=None, live=None, od=None):
+    def intersect_fn(o, d, t_max=None, exclude=None, live=None, od=None,
+                     any_hit=False):
         return pallas_intersect(o, d, tris, block_rays=block_rays,
                                 block_tris=block_tris, interpret=interpret,
                                 precision=precision, t_max=t_max, cull=cull,
                                 exclude=exclude, live=live, walk=walk,
                                 walk_group=walk_group, fuse4=fuse4, od=od,
-                                walk_prepass=walk_prepass)
+                                walk_prepass=walk_prepass, any_hit=any_hit)
 
     return intersect_fn

@@ -148,7 +148,8 @@ class TriShardedSceneAccess:
                          _I32_MAX)
         return t_min, jax.lax.pmin(cand, self.axis)
 
-    def intersect(self, o, d, t_max=None, exclude=None, live=None):
+    def intersect(self, o, d, t_max=None, exclude=None, live=None,
+                  any_hit=False):
         # decisions only — see LocalSceneAccess.intersect (also: the min
         # combiners have no differentiation rule, and must never need one)
         o = jax.lax.stop_gradient(o)
@@ -157,7 +158,8 @@ class TriShardedSceneAccess:
             # global -> shard-local id; out-of-shard ids fall outside
             # [0, shard_size) and match nothing
             exclude = jnp.asarray(exclude, jnp.int32) - self.offset
-        t_loc, i_loc = self.local.intersect(o, d, t_max, exclude, live)
+        t_loc, i_loc = self.local.intersect(o, d, t_max, exclude, live,
+                                            any_hit=any_hit)
         i_glob = jnp.where(i_loc >= 0, i_loc + self.offset, _I32_MAX)
         t_min, i_min = self._lex_min(t_loc, i_glob)
         idx = jnp.where(jnp.isfinite(t_min) & (i_min < _I32_MAX), i_min, -1)

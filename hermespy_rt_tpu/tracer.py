@@ -134,6 +134,14 @@ class LocalSceneAccess:
         if intersect_fn is None:
             intersect_fn = _select_intersect(tris, cfg)
         self._intersect = intersect_fn
+        # user-supplied intersect_fns may predate the any-hit declaration;
+        # nearest-hit is always a valid any-hit answer, so just drop it
+        import inspect
+        try:
+            self._any_hit_ok = ("any_hit"
+                                in inspect.signature(intersect_fn).parameters)
+        except (TypeError, ValueError):
+            self._any_hit_ok = False
         small = tris.v0.shape[0] <= 4096
         if cfg.gather == "auto":
             # "onehot" (XLA one-hot matmul) is the default: exact, and its
@@ -160,8 +168,17 @@ class LocalSceneAccess:
             self._eta_tab = jnp.stack(
                 [getattr(eta, f) for f in _ETA_FIELDS], axis=-1)  # [M, 12]
 
-    def intersect(self, o, d, t_max=None, exclude=None, live=None):
+    def intersect(self, o, d, t_max=None, exclude=None, live=None,
+                  any_hit=False):
         """Nearest hit: (t f32[R] (+inf miss), idx i32[R] (-1 miss)).
+
+        ``any_hit=True`` declares that the caller only consumes the
+        *existence* of a hit with ``t <= t_max`` (occlusion tests) — a
+        valid implementation may return ANY qualifying hit, which lets the
+        visit-list walk kernel stop a ray at its first blocker instead of
+        walking to the nearest (the reference has no such fast path; its
+        shadow rays run the full nearest scan,
+        /root/reference/src/compute_paths.c:666-683).
 
         ``t_max`` restricts the query to hits with ``t <= t_max`` (a
         performance hint for range-limited occlusion tests; hits beyond it
@@ -180,7 +197,9 @@ class LocalSceneAccess:
         """
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        return self._intersect(o, d, t_max, exclude, live)
+        if not self._any_hit_ok:
+            return self._intersect(o, d, t_max, exclude, live)
+        return self._intersect(o, d, t_max, exclude, live, any_hit=any_hit)
 
     def _rows(self, idx_safe):
         """Table rows for clamped indices, any leading shape -> [..., 27].
@@ -270,14 +289,23 @@ class LocalSceneAccess:
             f: row[..., _GEOM_COLS + i] for i, f in enumerate(_ETA_FIELDS)})
         return out
 
-    def intersect_od(self, od, t_max=None, exclude=None, live=None):
+    def intersect_od(self, od, t_max=None, exclude=None, live=None,
+                     any_hit=False):
         """Nearest hit with the ray operand supplied as [8, R] od rows
         (d rows, o rows, zero pad) — the fused bounce kernels emit queries
         in this layout so no transposes appear between kernels."""
         od = jax.lax.stop_gradient(od)
+        if not self._any_hit_ok:
+            if getattr(self._intersect, "supports_od", False):
+                return self._intersect(None, None, t_max, exclude, live,
+                                       od=od)
+            return self._intersect(od[3:6].T, od[0:3].T, t_max, exclude,
+                                   live)
         if getattr(self._intersect, "supports_od", False):
-            return self._intersect(None, None, t_max, exclude, live, od=od)
-        return self._intersect(od[3:6].T, od[0:3].T, t_max, exclude, live)
+            return self._intersect(None, None, t_max, exclude, live, od=od,
+                                   any_hit=any_hit)
+        return self._intersect(od[3:6].T, od[0:3].T, t_max, exclude, live,
+                               any_hit=any_hit)
 
     def normal_at(self, idx_safe):
         if self._table is not None:
@@ -297,9 +325,10 @@ class LocalSceneAccess:
 
 
 def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
-    def jnp_fn(o, d, t_max=None, exclude=None, live=None):
+    def jnp_fn(o, d, t_max=None, exclude=None, live=None, any_hit=False):
         # the jnp path ignores the liveness hint (dead results are masked by
-        # the tracer anyway); kernel-vs-jnp comparisons must mask by `live`
+        # the tracer anyway) and the any-hit declaration (nearest is a valid
+        # any-hit answer); kernel-vs-jnp comparisons must mask by `live`
         t, idx = intersect_jnp(o, d, tris, chunk_size=cfg.ray_chunk,
                                exclude=exclude)
         if t_max is not None:
@@ -348,7 +377,7 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
 
 
 def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig,
-                      live=None):
+                      live=None, any_hit=False):
     """Shadow-ray nearest-hit over the flattened [NRx * R] axis, chunked over
     RX groups so the kernel operands stay within HBM at large NRx.
 
@@ -367,7 +396,7 @@ def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig,
         c -= 1
     if c >= nrx:
         return access.intersect(flat(so), flat(ds), t_max=t_max,
-                                exclude=excl, live=live)
+                                exclude=excl, live=live, any_hit=any_hit)
     G = nrx // c
     grp = lambda x: None if x is None else x.reshape((G, -1))
     tm_g, ex_g, lv_g = grp(t_max), grp(excl), grp(live)
@@ -380,14 +409,14 @@ def _shadow_intersect(access, so, ds, t_max, excl, cfg: TracerConfig,
         ex_i = rest.pop(0) if ex_g is not None else None
         lv_i = rest.pop(0) if lv_g is not None else None
         return access.intersect(so_i, ds_i, t_max=tm_i, exclude=ex_i,
-                                live=lv_i)
+                                live=lv_i, any_hit=any_hit)
 
     t_o, idx_o = jax.lax.map(one, xs)
     return t_o.reshape(-1), idx_o.reshape(-1)
 
 
 def _shadow_intersect_od(access, sh, lims, excl_row, live, cfg: TracerConfig,
-                         nrx: int, R: int):
+                         nrx: int, R: int, any_hit=False):
     """All-RX shadow nearest-hit for the fused path: the ``[nrx*8, R]`` sh
     rows are lane-concatenated into ONE ``[8, nrx*R]`` od query (chunked to
     ``cfg.rx_query_rays`` like :func:`_shadow_intersect`).  The per-RX query
@@ -408,7 +437,7 @@ def _shadow_intersect_od(access, sh, lims, excl_row, live, cfg: TracerConfig,
         lv_q = None if lv0 is None else jnp.tile(lv0, cg)
         tm_q = None if lim_g is None else lim_g.reshape(-1)
         t, i = access.intersect_od(od_q, t_max=tm_q, exclude=ex_q,
-                                   live=lv_q)
+                                   live=lv_q, any_hit=any_hit)
         return t.reshape(cg, R), i.reshape(cg, R)
 
     if c >= nrx:
@@ -624,9 +653,15 @@ def bounce_step(carry, _, *, access, rx_pos, fslm, k_dop,
         eps_o = jnp.float32(cfg.occlusion_offset)
         limit = flat(d2rx) - 2.0 * eps_o
         lv = flat(live_b) if cfg.compact_rays else None
+        # physical mode consumes only `blocked` (any qualifying hit) from
+        # this query — unless transmission needs the nearest blocker's eta
+        # — so the walk kernel may stop each shadow ray at its FIRST
+        # in-range hit (r5 any-hit early-out; bit-identical `blocked`)
         t_o, idx_o = checkpoint_name(
             _shadow_intersect(access, so + eps_o * ds, ds, limit, excl,
-                              cfg, live=lv), "hit")
+                              cfg, live=lv,
+                              any_hit=(cfg.shadow_any_hit
+                                       and not cfg.transmission)), "hit")
         # in query coordinates the origin is a further eps_o along ds
         t_self_q = flat(t_self) - eps_o
         self_hit = (flat(crossing) & (t_self_q > jnp.float32(FLT_EPS))
@@ -764,8 +799,9 @@ def bounce_step_fused(carry, _, *, access, rx_pos, fslm, k_dop,
 
     eps_o = jnp.float32(cfg.occlusion_offset)
     lims = None if cfg.parity == "reference" else d2rx - 2.0 * eps_o
-    t_o, idx_o = _shadow_intersect_od(access, sh, lims, excl_row, live,
-                                      cfg, nrx, R)
+    t_o, idx_o = _shadow_intersect_od(
+        access, sh, lims, excl_row, live, cfg, nrx, R,
+        any_hit=cfg.shadow_any_hit and cfg.parity != "reference")
 
     out, write = bounce_post(spec, od2, st2, ex, sh, d2rx, t_self, crossing,
                              excl, live_i, t_o, idx_o, table, fslm, k_dop)
@@ -807,8 +843,9 @@ def run_fused_loop_slim(access, rx_pos, carry0, fslm, k_dop,
         live = live_row != 0
         lims = (None if cfg.parity == "reference"
                 else d2rx - 2.0 * jnp.float32(cfg.occlusion_offset))
-        return _shadow_intersect_od(access, sh, lims, excl_row, live, cfg,
-                                    nrx, R)
+        return _shadow_intersect_od(
+            access, sh, lims, excl_row, live, cfg, nrx, R,
+            any_hit=cfg.shadow_any_hit and cfg.parity != "reference")
 
     f32 = jnp.float32
     bq, bq_consts = jax.closure_convert(bounce_q, od0, pidx0, act0)

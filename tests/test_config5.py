@@ -72,6 +72,31 @@ def test_walk_under_tri_sharding(mesh_shape):
             np.asarray(getattr(got.scatter, field)), err_msg=field)
 
 
+def test_any_hit_shadow_walk_trace_invariant():
+    """Physical-parity traces route shadow queries through the walk
+    kernel's any-hit early-out (r5).  Although the raw (t, idx) a shadow
+    query returns may then name a different (non-nearest) blocker, every
+    trace output must be bit-identical to the nearest-hit jnp path: the
+    physical mode consumes only `blocked` from the query, and recorded
+    hits always satisfy t <= t_lim."""
+    tris = flatten_scene(random_soup_scene(600, seed=11, extent=14.0),
+                         sort_triangles=True)
+    kw = dict(num_paths=512, num_bounces=3, keep_rays=False,
+              parity="physical")
+    ref = trace_paths(tris, default_materials(), RX, TX, Z, Z, 3.0,
+                      TracerConfig(backend="jnp", **kw))
+    got = trace_paths(tris, default_materials(), RX, TX, Z, Z, 3.0,
+                      TracerConfig(backend="pallas", walk="resident",
+                                   block_rays=256, block_tris=64,
+                                   precision="highest", **kw))
+    occl = np.abs(np.asarray(got.scatter.a_te)) == 0
+    assert occl.any() and not occl.all(), "fixture must mix blocked/clear"
+    for field in ("a_te", "a_tm", "tau", "directions_rx", "freq_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref.scatter, field)),
+            np.asarray(getattr(got.scatter, field)), err_msg=field)
+
+
 def test_walk_prepass_pallas_matches_xla():
     """The r5 Pallas slab-test prepass (walk_prepass="ray") must reproduce
     the retired XLA sweep ("ray_xla") bit-for-bit: identical reach/key
