@@ -111,6 +111,10 @@ def _round_up(x, m):
 
 # Whole-loop slim backward ray-tile size (see _fused_loop_bwd_slim).
 _LOOP_BWD_BLOCK = 2048
+# Pad the per-material eta table to this many rows inside the slim backward
+# (0 = no padding).  Probe knob (probe_r5k): isolates whether tiny-table
+# one-hot contractions lower poorly in Mosaic.
+_MAT_ROWS_PAD = 0
 
 # PROBE-ONLY ablation switch (benchmarks/probe_r5d.py): entries in this set
 # cut pieces out of the slim backward kernels to attribute their device
@@ -327,9 +331,21 @@ def _read_rxp(rxp_ref, nrx):
 
 
 def _pre_fwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
-                    idx_ref, od2_ref, st2_ref, ex_ref, sh_ref, d2rx_ref,
-                    tself_ref, cross_ref, excl_ref, live_ref, res_ref, *,
-                    spec: FusedSpec, t: int):
+                    idx_ref, *out_refs, spec: FusedSpec, t: int,
+                    with_mat: bool = False):
+    if with_mat:
+        # matrow_ref rides as the last INPUT when the caller wants the hit
+        # material id emitted (fused_loop_slim: the XLA-side
+        # material[max(excl, 0)] gather lowered as a 10 ms scalar-memory
+        # fusion per bounce, probe_r5k/trace_r5k — here it is one exact
+        # [1, T] @ [T, B] pass on the one-hot this kernel builds anyway)
+        matrow_ref = out_refs[0]
+        out_refs = out_refs[1:]
+        (od2_ref, st2_ref, ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
+         excl_ref, live_ref, res_ref, mat_ref) = out_refs
+    else:
+        (od2_ref, st2_ref, ex_ref, sh_ref, d2rx_ref, tself_ref, cross_ref,
+         excl_ref, live_ref, res_ref) = out_refs
     fslm = sc_ref[0]
     k_dop = sc_ref[1]
     rxp = _read_rxp(rxp_ref, spec.nrx)
@@ -337,7 +353,13 @@ def _pre_fwd_kernel(sc_ref, rxp_ref, limbs_ref, od_ref, st_ref, act_ref,
     act = act_ref[...] != 0
     live = act & (idx >= 0)
     safe = jnp.maximum(idx, 0)
-    payload = _fetch_rows(limbs_ref[...], safe, t)
+    oht = _oht_bf16(safe, t)
+    payload = _fetch_rows_oht(limbs_ref[...], oht)
+    if with_mat:
+        # material ids <= 255 are bf16-exact; one-hot selection is exact
+        mat_ref[...] = jnp.dot(matrow_ref[...], oht,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
 
     od2, st2, ex, sh, d2rx, dsn, dint, res = _pre_diff(
         payload, od_ref[...], st_ref[...], rxp, fslm, k_dop,
@@ -791,7 +813,8 @@ def bounce_pre(spec: FusedSpec, od, st, act, idx, table, rx_pos, fslm,
     return out
 
 
-def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
+def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop,
+                    material=None):
     t, c = table.shape
     R = od.shape[-1]
     block = spec.block
@@ -805,6 +828,7 @@ def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
     sc = jnp.stack([jnp.asarray(fslm, jnp.float32).reshape(()),
                     jnp.asarray(k_dop, jnp.float32).reshape(())])
     nrx = spec.nrx
+    with_mat = material is not None
     shapes = [
         jax.ShapeDtypeStruct((8, r_pad), jnp.float32),        # od2
         jax.ShapeDtypeStruct((6, r_pad), jnp.float32),        # st2
@@ -817,20 +841,32 @@ def _bounce_pre_fwd(spec, od, st, act, idx, table, rx_pos, fslm, k_dop):
         jax.ShapeDtypeStruct((1, r_pad), jnp.int32),          # live
         jax.ShapeDtypeStruct((3, r_pad), jnp.float32),        # res (bwd)
     ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
+                _row(8, block), _row(6, block), _row(1, block),
+                _row(1, block)]
+    ops = (sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
+    if with_mat:
+        matrow = (jax.lax.stop_gradient(jnp.asarray(material, jnp.int32))
+                  .astype(jnp.bfloat16).reshape(1, t))
+        in_specs.append(_whole())
+        ops = ops + (matrow,)
+        shapes.append(jax.ShapeDtypeStruct((1, r_pad), jnp.int32))  # mat
     outs = pl.pallas_call(
-        functools.partial(_pre_fwd_kernel, spec=spec, t=t),
+        functools.partial(_pre_fwd_kernel, spec=spec, t=t,
+                          with_mat=with_mat),
         grid=(r_pad // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM), _whole(),
-                  _row(8, block), _row(6, block), _row(1, block),
-                  _row(1, block)],
+        in_specs=in_specs,
         out_specs=[_row(s.shape[0], block) for s in shapes],
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=spec.interpret,
-    )(sc, rx_pos, limbs, od_p, st_p, act_p, idx_p)
+    )(*ops)
     outs = tuple(x[:, :R] for x in outs)
+    if with_mat:
+        return outs[:-2], (od, st, act, idx, table, rx_pos, outs[-2],
+                           outs[-1])
     return outs[:-1], (od, st, act, idx, table, rx_pos, outs[-1])
 
 
@@ -1120,23 +1156,30 @@ bounce_post.defvjp(_bounce_post_fwd, _bounce_post_bwd)
 # the measured-neutral probe_r5d "stepped_acc" form that keeps the grid
 # parallel).
 
-def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, excl_ref,
+def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, mat_ref,
                           respre_ref, respost_ref, dout_ref,
                           dst0_ref, dtab_ref, *, spec: FusedSpec, t: int,
                           nb: int):
+    """``t`` here is the MATERIAL count, not the triangle count: the slim
+    backward only ever touches the 12 eta columns, and those are the same
+    per-material rows for every triangle of a material
+    (``eta[mat][tri] == eta_tab[mat[tri]]`` bit-exactly) — so the one-hot
+    fetch AND the scatter contraction run against the ~17-row per-material
+    table instead of the [T, 27] triangle table.  probe_r5h measured the
+    triangle-level scatter at 3.9 ms of the 9.6 ms backward; the material
+    form cuts its one-hot rows ~15x and returns the cotangent directly in
+    material coordinates (no XLA-side segment-by-material pass left)."""
     limbs_e = limbse_ref[...]
     block = dst0_ref.shape[-1]
     d_carry = jnp.zeros((6, block), jnp.float32)
     acc = jnp.zeros((t, limbs_e.shape[0]), jnp.float32)
     for b in range(nb - 1, -1, -1):
         live = live_ref[b, :, :] != 0                         # [1, block]
-        excl = excl_ref[b, :, :]
-        safe = jnp.maximum(excl, 0)
         if "nofetch" in _ABLATE:          # probe-only; implies noscatter
             oht = None
             eta_rows = jnp.full((len(ETA_FIELDS), block), 0.5, jnp.float32)
         else:
-            oht = _oht_bf16(safe, t)
+            oht = _oht_bf16(mat_ref[b, :, :], t)
             eta_rows = _fetch_rows_oht(limbs_e, oht)          # [12, block]
         st_b = st_ref[b, :, :]
         st2_b = st_ref[b + 1, :, :]
@@ -1170,14 +1213,19 @@ def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, excl_ref,
     dtab_ref[...] = acc[None]
 
 
-def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, table, st_all, live_all,
-                         excl_all, res_pre_all, res_post_all, d_outs):
+def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, eta_tab, st_all, live_all,
+                         mat_all, res_pre_all, res_post_all, d_outs):
     """Plumbing for :func:`_loop_bwd_slim_kernel`.
 
-    ``st_all`` [nb+1, 6, R] (st_0..st_B), ``live_all``/``excl_all``
-    [nb, 1, R] i32, ``res_pre_all`` [nb, 3, R], ``res_post_all``/``d_outs``
-    [nb, 6*nrx, R].  Returns (d_st0 [6, R], d_tab [T, 27])."""
-    t, c = table.shape
+    ``eta_tab`` [M, 12] per-material eta table, ``st_all`` [nb+1, 6, R]
+    (st_0..st_B), ``live_all``/``mat_all`` [nb, 1, R] i32 (mat_all = the
+    hit material id per ray, already masked to a safe row), ``res_pre_all``
+    [nb, 3, R], ``res_post_all``/``d_outs`` [nb, 6*nrx, R].  Returns
+    (d_st0 [6, R], d_eta_tab [M, 12])."""
+    m0 = eta_tab.shape[0]
+    if _MAT_ROWS_PAD and m0 < _MAT_ROWS_PAD:
+        eta_tab = jnp.pad(eta_tab, ((0, _MAT_ROWS_PAD - m0), (0, 0)))
+    t, c = eta_tab.shape
     R = st_all.shape[-1]
     # the backward tile is independent of the forward's: the nb unrolled
     # vjp chains' intermediates all live on the scoped-vmem stack at once
@@ -1187,7 +1235,7 @@ def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, table, st_all, live_all,
     r_pad = _round_up(max(R, block), block)
     n_steps = r_pad // block
     ce = len(ETA_FIELDS)
-    limbs_e = _limb_table(table[:, _GEOM:])                   # [3*12, T]
+    limbs_e = _limb_table(eta_tab)                            # [3*12, M]
     snrx = 6 * spec.nrx
 
     def pad3(x, value=0):
@@ -1223,18 +1271,17 @@ def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, table, st_all, live_all,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=spec.interpret,
-    )(limbs_e, pad3(st_all), pad3(live_all), pad3(excl_all, value=-1),
+    )(limbs_e, pad3(st_all), pad3(live_all), pad3(mat_all),
       pad3(res_pre_all), pad3(res_post_all), pad3(d_outs))
     d_st0, d_tab3 = outs
-    d_tab = jnp.pad(_sum_limb_groups(jnp.sum(d_tab3, axis=0)),
-                    ((0, 0), (_GEOM, 0)))
-    return d_st0[:, :R], d_tab
+    d_eta_tab = _sum_limb_groups(jnp.sum(d_tab3, axis=0))[:m0]  # [M, 12]
+    return d_st0[:, :R], d_eta_tab
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def fused_loop_slim(spec: FusedSpec, nb: int, bq, sq, keep_rays: bool,
-                    od0, st0, act0, pidx0, table, rx_pos, fslm, k_dop,
-                    bq_consts, sq_consts):
+                    od0, st0, act0, pidx0, table, eta_tab, material,
+                    rx_pos, fslm, k_dop, bq_consts, sq_consts):
     """The whole fused bounce loop as ONE custom_vjp (slim backward only:
     requires ``spec.grad_positions=False``).
 
@@ -1242,7 +1289,12 @@ def fused_loop_slim(spec: FusedSpec, nb: int, bq, sq, keep_rays: bool,
     nearest-hit and batched shadow nearest-hit) with their captured arrays
     in ``bq_consts``/``sq_consts`` — both queries are non-differentiable,
     so the backward ignores them and runs :func:`_loop_bwd_slim_kernel`
-    once over the saved per-bounce residuals.
+    once over the saved per-bounce residuals.  The materials cotangent is
+    returned on ``eta_tab`` (the [M, 12] per-material eta table; the
+    forward fetches bit-identical values from ``table``'s eta columns, so
+    declaring ``table`` non-differentiable here is exact — the slim
+    backward touches eta alone, and ``eta[mat][tri] == eta_tab[mat[tri]]``
+    bit-exactly).  ``material`` i32[T] maps triangle -> material row.
 
     Returns ``(outs [nb, 6*nrx, R], writes i32[nb, nrx, R],
     sh [nb, nrx*8, R], live i32[nb, R], od2s)`` with ``od2s``
@@ -1251,20 +1303,26 @@ def fused_loop_slim(spec: FusedSpec, nb: int, bq, sq, keep_rays: bool,
     if spec.grad_positions:
         raise ValueError("fused_loop_slim requires grad_positions=False")
     out, _ = _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0,
-                                  act0, pidx0, table, rx_pos, fslm, k_dop,
-                                  bq_consts, sq_consts)
+                                  act0, pidx0, table, eta_tab, material,
+                                  rx_pos, fslm, k_dop, bq_consts, sq_consts)
     return out
 
 
 def _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0, act0, pidx0,
-                         table, rx_pos, fslm, k_dop, bq_consts, sq_consts):
+                         table, eta_tab, material, rx_pos, fslm, k_dop,
+                         bq_consts, sq_consts):
     od, st, act, pidx = od0, st0, act0, pidx0
     outs, writes, shs, lives, od2s = [], [], [], [], []
-    sts, excls, res_pres, res_posts = [st0], [], [], []
+    sts, mats, res_pres, res_posts = [st0], [], [], []
     for _b in range(nb):
         idx = jax.lax.stop_gradient(bq(od, pidx, act, *bq_consts))
+        # the pre kernel also emits the hit MATERIAL row (clamped index;
+        # dead rays carry zero cotangent so any safe row is fine) — the
+        # XLA-side material[idx] gather lowered as a ~10 ms scalar fusion
+        # per bounce in this graph (trace_r5k)
         pre_out, pre_res = _bounce_pre_fwd(spec, od, st, act, idx, table,
-                                           rx_pos, fslm, k_dop)
+                                           rx_pos, fslm, k_dop,
+                                           material=material)
         (od2, st2, ex, sh, d2rx, t_self, crossing, excl, live_i) = pre_out
         t_o, idx_o = sq(sh, d2rx, excl[0], live_i[0], *sq_consts)
         post_out, post_res = _bounce_post_fwd(
@@ -1275,8 +1333,8 @@ def _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0, act0, pidx0,
         writes.append(write)
         shs.append(sh)
         lives.append(live_i)
-        excls.append(excl)
-        res_pres.append(pre_res[-1])
+        mats.append(pre_res[-1])
+        res_pres.append(pre_res[-2])
         res_posts.append(post_res[-1])
         sts.append(st2)
         if keep_rays:
@@ -1286,20 +1344,21 @@ def _fused_loop_slim_fwd(spec, nb, bq, sq, keep_rays, od0, st0, act0, pidx0,
     primal = (stk(outs), stk(writes), stk(shs),
               jnp.concatenate(lives, axis=0),
               stk(od2s) if keep_rays else None)
-    resid = (table, stk(sts), stk(lives), stk(excls), stk(res_pres),
+    resid = (eta_tab, stk(sts), stk(lives), stk(mats), stk(res_pres),
              stk(res_posts), bq_consts, sq_consts)
     return primal, resid
 
 
 def _fused_loop_slim_bwd(spec, nb, bq, sq, keep_rays, resid, cots):
-    (table, st_all, live_all, excl_all, res_pre_all, res_post_all,
+    (eta_tab, st_all, live_all, mat_all, res_pre_all, res_post_all,
      bq_consts, sq_consts) = resid
     d_outs = cots[0]                                    # [nb, 6*nrx, R]
-    d_st0, d_tab = _fused_loop_bwd_slim(
-        spec, nb, table, st_all, live_all, excl_all, res_pre_all,
+    d_st0, d_eta_tab = _fused_loop_bwd_slim(
+        spec, nb, eta_tab, st_all, live_all, mat_all, res_pre_all,
         res_post_all, d_outs)
-    return (None, d_st0, None, None, d_tab, None, None, None,
-            tuple(None for _ in bq_consts), tuple(None for _ in sq_consts))
+    return (None, d_st0, None, None, None, d_eta_tab, None, None, None,
+            None, tuple(None for _ in bq_consts),
+            tuple(None for _ in sq_consts))
 
 
 fused_loop_slim.defvjp(_fused_loop_slim_fwd, _fused_loop_slim_bwd)

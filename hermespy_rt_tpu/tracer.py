@@ -857,7 +857,8 @@ def run_fused_loop_slim(access, rx_pos, carry0, fslm, k_dop,
         jax.ShapeDtypeStruct((R,), jnp.int32))
     outs_all, writes, shs, lives, od2s = fused_loop_slim(
         spec, B, bq, sq, cfg.keep_rays, od0, st0, act0, pidx0, table,
-        rx_pos, fslm, k_dop, tuple(bq_consts), tuple(sq_consts))
+        access._eta_tab, access.tris.material, rx_pos, fslm, k_dop,
+        tuple(bq_consts), tuple(sq_consts))
     out4 = outs_all.reshape(B, nrx, 6, R)
     te_re, te_im, tm_re, tm_im = (out4[:, :, 0], out4[:, :, 1],
                                   out4[:, :, 2], out4[:, :, 3])
