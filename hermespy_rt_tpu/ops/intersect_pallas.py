@@ -652,6 +652,13 @@ def _kernel_walk(v_hbm, aabb_ref, g_hbm, od_ref,
     excl = ex_ref[...]
     t_lim = lim_ref[...] if has_limit else None
 
+    # NOTE (probe_r5i2, measured NEGATIVE): gating each tile's DMA start on
+    # a fresh slab test (skip the G stream for tiles the tightened limits
+    # can no longer reach — sound, since limits only tighten) made config-5
+    # 627 -> 756 ms: the conditional start serializes the prefetch behind
+    # the reach computation and costs more than the skipped bytes save.
+    # Unconditional double-buffered streaming with evaluation-only skipping
+    # stays the shipping form.
     def body(kk, _):
         gslot = jax.lax.rem(kk, 2)
 
