@@ -186,6 +186,17 @@ def _scatter_add_oht(oht, d_payload):
         preferred_element_type=jnp.float32)                     # [T, 3C]
 
 
+def _scatter_add_oht_swapped(oht, d_payload):
+    """Same contraction with the operands swapped and the (tiny) [3C, T]
+    output transposed — probes whether Mosaic's lane-lane dot_general picks
+    a cheaper operand relayout when the one-hot is the RHS (probe_r5n)."""
+    g_limbs = jnp.concatenate(_split3_kernel(d_payload), axis=0)  # [3C, B]
+    y = jax.lax.dot_general(
+        g_limbs, oht, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [3C, T]
+    return y.T
+
+
 def _scatter_add_tile(idx_row, d_payload, t):
     return _scatter_add_oht(_oht_bf16(idx_row, t), d_payload)
 
@@ -1208,7 +1219,10 @@ def _loop_bwd_slim_kernel(limbse_ref, st_ref, live_ref, mat_ref,
         # both chains mask by the same liveness/write decisions)
         d_eta = jnp.concatenate([d_eta[0:10], d_eta[10:12] + d_ss], axis=0)
         if "noscatter" not in _ABLATE:
-            acc = acc + _scatter_add_oht(oht, d_eta)
+            if "swapscatter" in _ABLATE:       # probe_r5n lowering A/B
+                acc = acc + _scatter_add_oht_swapped(oht, d_eta)
+            else:
+                acc = acc + _scatter_add_oht(oht, d_eta)
     dst0_ref[...] = d_carry
     dtab_ref[...] = acc[None]
 
@@ -1230,8 +1244,12 @@ def _fused_loop_bwd_slim(spec: FusedSpec, nb: int, eta_tab, st_all, live_all,
     # the backward tile is independent of the forward's: the nb unrolled
     # vjp chains' intermediates all live on the scoped-vmem stack at once
     # (Mosaic does not reuse buffers across the in-kernel bounce loop), and
-    # block=4096 measured 26.6M > the 16M scoped limit at nb=3 (probe_r5f)
-    block = min(spec.block, _LOOP_BWD_BLOCK)
+    # block=4096 measured 26.6M > the 16M scoped limit at nb=3 (probe_r5f).
+    # The res_post/d_out stacks scale with nrx (6*nrx*nb rows each): nrx=8
+    # at block=2048 measured 22.45M > 16M (probe_r5m) — halve the tile
+    # from nrx=5 up.
+    block = min(spec.block,
+                _LOOP_BWD_BLOCK if spec.nrx <= 4 else _LOOP_BWD_BLOCK // 2)
     r_pad = _round_up(max(R, block), block)
     n_steps = r_pad // block
     ce = len(ETA_FIELDS)
