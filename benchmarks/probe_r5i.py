@@ -86,7 +86,9 @@ out = {
     "round": 5,
     "history_mq_per_s": {"r3": 8.16, "r4": 8.2,
                          "r5_prepass_pallas": 8.67,
-                         "r5_mat_indirect_fetch": 9.50},
+                         "r5_mat_indirect_fetch": 9.50,
+                         "r5_any_hit_shadow": 10.01,
+                         "r5_block_rays_2048": 10.79},
 }
 with open("/root/repo/benchmarks/logs/config5_r5.json", "w") as f:
     json.dump(out, f, indent=1)

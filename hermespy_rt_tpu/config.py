@@ -40,7 +40,12 @@ class TracerConfig:
     parity: str = "reference"
     backend: str = "auto"
     ray_chunk: int = 4096
-    block_rays: int = 1024
+    # "auto" = 1024 for the brute/culled kernels (the r1-r3 tuned canyon
+    # value) and 2048 when the visit-list walk is active: bigger ray tiles
+    # re-stream each walk G tile fewer times, which beats the finer
+    # tiles' pruning granularity at 131k tris (config-5 sweep, probe_r5o/p:
+    # 512 -> 773.7 ms, 1024 -> 628.7, 2048 -> 583.1, 4096 -> 600.2).
+    block_rays: object = "auto"
     block_tris: int = 256
     unroll_bounces: bool = True
     # bounce-scan backward policy (unroll_bounces=False only): "save_all"
@@ -258,6 +263,11 @@ class TracerConfig:
         if self.shade not in ("xla", "pallas", "fused"):
             raise ValueError(f"shade must be 'xla', 'pallas' or 'fused', "
                              f"got {self.shade!r}")
+        if self.block_rays != "auto" and (
+                not isinstance(self.block_rays, int)
+                or self.block_rays <= 0):
+            raise ValueError("block_rays must be 'auto' or a positive int, "
+                             f"got {self.block_rays!r}")
         if self.remat not in ("none", "hits"):
             raise ValueError(f"remat must be 'none' or 'hits', got "
                              f"{self.remat!r}")

@@ -361,7 +361,14 @@ def _select_intersect(tris: TriangleSoA, cfg: TracerConfig):
                 # that the walk kernel pays back more than the prepass
                 # saves (+135 ms kernels vs -180 ms prepass, probe_r4l)
                 wp = "ray"
-            fn = make_pallas_intersect(tris, block_rays=cfg.block_rays,
+            br = cfg.block_rays
+            if br == "auto":
+                # measured policy (config-5 sweep, probe_r5o/p): walk-mode
+                # ray tiles of 2048 re-stream each G tile fewer times
+                # (583 ms vs 629 at 1024 on the 131k-tri city); the
+                # brute/culled kernels keep the canyon-tuned 1024.
+                br = 2048 if walk else 1024
+            fn = make_pallas_intersect(tris, block_rays=br,
                                        block_tris=cfg.block_tris,
                                        precision=cfg.precision,
                                        cull=cfg.cull and not walk,
