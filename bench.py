@@ -47,11 +47,12 @@ CANYON = "/root/reference/scenes/simple_street_canyon_with_cars.hrt"
 #  - gather="onehot_pallas": the transposed-layout VMEM one-hot fetch
 #    (142 -> 175 Mq/s, probe_r3j; the first-layout kernel measured 5x
 #    SLOWER — probe_r3f — before the rays-on-lanes rewrite)
-#  - shade: per-nrx (probe_r4m/r4m2): the fused bounce megakernel + slim
-#    grad_positions=False backward wins at nrx=1 (198.8 vs 192.1 Mq/s);
-#    at nrx>=4 the xla shade wins (242.1 vs 224.6 at nrx=4, 262.0 vs
-#    228.1 at nrx=8 — shadow-dominated traces fuse worse) and the fused
-#    path OOMs scoped vmem at nrx=16.
+#  - shade: per-nrx (probe_r4m/r4m2, reconfirmed under the r5 whole-loop
+#    backward by probe_r5m): the fused bounce megakernel + the whole-loop
+#    material-level slim backward (ops/bounce_fused.py::fused_loop_slim)
+#    wins at nrx=1 (29.45 ms fwd+bwd, bwd/fwd 1.32x, probe_r5j2); at
+#    nrx>=4 the xla shade wins (250.0 vs 211.5 at nrx=4 — the forward
+#    shadow row stacks scale with nrx) so those rows keep shade="xla".
 BENCH_FLAGS = dict(backend="auto", keep_rays=False, precision="exact1",
                    unroll_bounces=True, fuse4=True, compact_rays=True,
                    launch_order="coherent", grad_geometry=False,
