@@ -1047,7 +1047,11 @@ def fused_block(nrx: int) -> int:
     nrx (the sh/out/nops row stacks are nrx-proportional), so the 4096-ray
     tile that is fastest at nrx <= 4 blows scoped VMEM from nrx = 16 up
     (probe_r4m: 17.24 M > 16 M).  Halving the tile per nrx doubling keeps
-    the footprint roughly constant."""
+    the footprint roughly constant.  nrx=1 measured faster still at 8192
+    (29.45 -> 29.20 ms on the bench step, probe_r5q — fewer launches);
+    the whole-loop backward tile is independent (ops/bounce_fused.py)."""
+    if nrx == 1:
+        return 8192
     if nrx <= 4:
         return 4096
     if nrx <= 8:
